@@ -7,7 +7,9 @@ on N virtual CPU devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the ambient environment pins JAX_PLATFORMS to the TPU
+if not os.environ.get("ACAV_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
