@@ -93,11 +93,11 @@ class TestResample:
         np.testing.assert_allclose(got, want, atol=5e-2)
 
     def test_exact_match_scipy_fp64(self):
-        from jax.experimental import enable_x64
+        import jax
 
         rng = np.random.RandomState(1)
         x = rng.randn(44100)
-        with enable_x64():
+        with jax.enable_x64():
             got = np.asarray(melspec.resample_poly(jnp.asarray(x), 160, 441))
         want = scipy_resample_poly(x, 160, 441)
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
