@@ -3,8 +3,10 @@ from .mesh import (
     data_sharding,
     replicated_sharding,
     local_batch_size,
-    host_device_count,
+    cpu_mesh_env,
     initialize_runtime,
+    DATA_AXIS,
+    MODEL_AXIS,
 )
 
 __all__ = [
@@ -12,6 +14,8 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "local_batch_size",
-    "host_device_count",
+    "cpu_mesh_env",
     "initialize_runtime",
+    "DATA_AXIS",
+    "MODEL_AXIS",
 ]
