@@ -3,15 +3,22 @@
 The reference could only exercise its distributed paths on real GPUs
 (SURVEY.md section 4); JAX lets us compile and run every sharded code path
 on N virtual CPU devices.
+
+NB: the environment registers an 'axon' TPU platform plugin that overrides
+``JAX_PLATFORMS`` at import time, so the env var alone is not enough — the
+config must be updated after importing jax (before backend init).
+Set ``ACAV_TEST_TPU=1`` to run the suite on the real chip instead.
 """
 
 import os
 
-# force-override: the ambient environment pins JAX_PLATFORMS to the TPU
 if not os.environ.get("ACAV_TEST_TPU"):
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
     os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
