@@ -1,0 +1,174 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from acav100m_tpu.ops import mi
+from acav100m_tpu.ops.pairing import get_cluster_pairing
+
+
+def numpy_mi_oracle(N):
+    """Reference MI formula in fp64 (mi.py:85-91 of the reference)."""
+    a = N.sum(axis=-2)[..., None, :]  # sum over rows -> col margins
+    b = N.sum(axis=-1)[..., :, None]
+    n = N.sum(axis=(-1, -2))[..., None, None]
+    return (N / n * (np.log(N) + np.log(n) - np.log(a) - np.log(b))).sum(
+        axis=(-1, -2)
+    )
+
+
+def random_problem(rng, v=200, d=4, c=8):
+    """Correlated-vs-independent assignments: first half of samples share
+    one latent class across all clusterings, second half independent."""
+    latent = rng.randint(0, c, size=v)
+    assignments = np.empty((v, d), dtype=np.int64)
+    half = v // 2
+    for j in range(d):
+        assignments[:half, j] = latent[:half]
+        assignments[half:, j] = rng.randint(0, c, size=v - half)
+    keys = [("view0", f"layer_{j}") for j in range(d)]
+    pairs = get_cluster_pairing(keys, "combination")
+    return assignments, pairs, half
+
+
+class TestScorers:
+    def test_mem_matches_full(self):
+        rng = np.random.RandomState(0)
+        assignments, pairs, _ = random_problem(rng, v=64)
+        sel = mi.GreedySelector(assignments, pairs, ncentroids=8)
+        sel.add_samples([0, 5, 9])
+        full = np.asarray(
+            mi.score_candidates_full(sel.cache, sel.pairs_all, 8, kind="mi")
+        )
+        mem = np.asarray(
+            mi.score_candidates_mem(sel.cache, sel.stats, sel.pairs_all, 8)
+        )
+        np.testing.assert_allclose(mem, full, rtol=2e-4, atol=2e-4)
+
+    def test_full_mi_matches_numpy_oracle(self):
+        rng = np.random.RandomState(1)
+        assignments, pairs, _ = random_problem(rng, v=32)
+        cache = mi.init_cache(len(pairs), 8)
+        pa = mi.pair_assignments(assignments, pairs)
+        # populate the cache first: MI on an empty eps-table is eps-scale
+        # and dominated by fp32 log noise
+        cache = mi.add_candidates_to_cache(cache, jnp.asarray(pa[4:24]), 8)
+        scores = np.asarray(
+            mi.score_candidates_full(cache, jnp.asarray(pa[:4]), 8, kind="mi")
+        )
+        # oracle: integer counts of the 20 cached samples + the candidate
+        want = []
+        for w in range(4):
+            N = np.full((len(pairs), 8, 8), mi.EPS)
+            for s in range(4, 24):
+                for p in range(len(pairs)):
+                    N[p, pa[s, p, 0], pa[s, p, 1]] += 1
+            for p in range(len(pairs)):
+                N[p, pa[w, p, 0], pa[w, p, 1]] += 1
+            want.append(numpy_mi_oracle(N).mean())
+        np.testing.assert_allclose(scores, np.array(want), rtol=1e-4, atol=1e-5)
+
+    def test_ami_nmi_finite_and_ordered(self):
+        rng = np.random.RandomState(2)
+        assignments, pairs, half = random_problem(rng, v=100)
+        cache = mi.init_cache(len(pairs), 8)
+        pa = jnp.asarray(mi.pair_assignments(assignments, pairs))
+        # seed cache with some correlated samples so margins are non-trivial
+        cache = mi.add_candidates_to_cache(cache, pa[:20], 8)
+        for kind in ("ami", "nmi"):
+            s = np.asarray(
+                mi.score_candidates_full(cache, pa[20:60], 8, kind=kind)
+            )
+            assert np.all(np.isfinite(s))
+        const = np.asarray(
+            mi.score_candidates_full(cache, pa[20:24], 8, kind="constant")
+        )
+        np.testing.assert_array_equal(const, 1.0)
+
+
+class TestGreedySelection:
+    def test_greedy_prefers_correlated_samples(self):
+        rng = np.random.RandomState(3)
+        assignments, pairs, half = random_problem(rng, v=200, d=4, c=8)
+        sel = mi.GreedySelector(assignments, pairs, ncentroids=8)
+        subset, gains, _, _ = sel.run_greedy(
+            subset_size=half // 2, start_indices=[0]
+        )
+        precision = np.mean(np.asarray(subset) < half)
+        assert precision > 0.85
+
+    def test_batch_greedy_prefers_correlated_samples(self):
+        rng = np.random.RandomState(4)
+        assignments, pairs, half = random_problem(rng, v=200, d=4, c=8)
+        sel = mi.BatchGreedySelector(
+            assignments, pairs, ncentroids=8, batch_size=20,
+            selection_size=4, keep_unselected=True, seed=0,
+        )
+        subset, gains, _, _ = sel.run_greedy(subset_size=40, start_indices=[0])
+        assert len(subset) == 40
+        precision = np.mean(np.asarray(subset) < half)
+        assert precision > 0.7
+
+    def test_batch_pool_invariants(self):
+        rng = np.random.RandomState(5)
+        assignments, pairs, _ = random_problem(rng, v=100)
+        sel = mi.BatchGreedySelector(
+            assignments, pairs, ncentroids=8, batch_size=10,
+            selection_size=2, keep_unselected=True, seed=0,
+        )
+        subset, _, _, _ = sel.run_greedy(subset_size=10, start_indices=[3])
+        # keep_unselected: pool + selected (+1 start index) == dataset
+        assert len(sel.candidate_ids) + len(subset) + 1 == 100
+        assert len(np.unique(sel.candidate_ids)) == len(sel.candidate_ids)
+        assert len(set(subset) & set(sel.candidate_ids.tolist())) == 0
+        assert 3 not in subset and 3 not in sel.candidate_ids
+
+    def test_batch_without_keep_unselected_grows_k(self):
+        rng = np.random.RandomState(6)
+        assignments, pairs, _ = random_problem(rng, v=50)
+        sel = mi.BatchGreedySelector(
+            assignments, pairs, ncentroids=8, batch_size=25,
+            selection_size=1, keep_unselected=False, seed=0,
+        )
+        # B*S/V = 25*20/50 = 10 > k=1 -> k must grow to 10
+        assert sel.modify_k(20) == 10
+        subset, _, _, _ = sel.run_greedy(subset_size=20)
+        assert len(subset) == 20
+
+    def test_greedy_matches_batch_b1_k1(self):
+        """batch greedy with B=V,k=1 should behave like exact greedy."""
+        rng = np.random.RandomState(7)
+        assignments, pairs, half = random_problem(rng, v=60)
+        exact = mi.GreedySelector(assignments, pairs, ncentroids=8)
+        exact.add_samples([0])
+        s_exact = exact.scores()
+        batch = mi.BatchGreedySelector(
+            assignments, pairs, ncentroids=8, batch_size=59,
+            selection_size=1, seed=0,
+        )
+        batch.add_samples([0])
+        pairs_dev = batch.pairs_all
+        s_batch = np.asarray(
+            mi.score_candidates_mem(batch.cache, batch.stats, pairs_dev, 8)
+        )
+        np.testing.assert_allclose(s_exact, s_batch, rtol=1e-5)
+
+
+class TestPairing:
+    def test_combination_counts(self):
+        keys = [("v", f"l{i}") for i in range(10)]
+        assert len(get_cluster_pairing(keys, "combination")) == 45
+
+    def test_bipartite(self):
+        keys = [("a", "l0"), ("a", "l1"), ("b", "l0"), ("b", "l1"), ("b", "l2")]
+        got = get_cluster_pairing(keys, "bipartite")
+        assert len(got) == 2 * 3
+        assert got[0] == (0, 2)
+
+    def test_diagonal(self):
+        keys = [("a", "l0"), ("a", "l1"), ("b", "l0"), ("b", "l1")]
+        got = get_cluster_pairing(keys, "diagonal")
+        assert got == [[0, 2], [1, 3]]
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            get_cluster_pairing([], "nope")
