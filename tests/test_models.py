@@ -1,0 +1,205 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acav100m_tpu.models import get_model, model_names
+from acav100m_tpu.models.vggish import LayerVggish, convert_torch_state_dict
+from acav100m_tpu.models.slowfast import (
+    LayerSlowFast,
+    pack_pathways,
+    normalize_frames,
+)
+
+
+class TestRegistry:
+    def test_names(self):
+        names = model_names()
+        assert "layer_vggish" in names
+        assert "layer_slowfast" in names
+        assert "vggish" in names and "slowfast" in names
+
+    def test_tags(self):
+        assert get_model("layer_vggish").model_tag == {
+            "name": "VGGish",
+            "dataset": "YouTube-8M",
+        }
+        assert get_model("layer_slowfast").model_tag == {
+            "name": "SLOWFAST_8x8_R50",
+            "dataset": "kinetics-400",
+        }
+
+
+class TestVggish:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = LayerVggish()
+        params = model.init(jax.random.PRNGKey(0))
+        return model, params
+
+    def test_layer_dims(self, model_and_params):
+        model, params = model_and_params
+        audio = jnp.asarray(np.random.RandomState(0).randn(2, 160000), jnp.float32)
+        taps = jax.jit(model.apply)(params, audio)
+        assert [t.shape for t in taps] == [
+            (2, 64), (2, 128), (2, 256), (2, 512), (2, 128)
+        ]
+        assert all(np.isfinite(np.asarray(t)).all() for t in taps)
+        # reference check: dims [64,128,256,512,128] (vggish.py:81)
+        assert LayerVggish.output_dims == [64, 128, 256, 512, 128]
+
+    def test_masked_mean_equals_truncated(self, model_and_params):
+        """A zero-padded 2.88 s clip with a valid mask must equal the
+        3-example mean computed directly."""
+        model, params = model_and_params
+        rng = np.random.RandomState(1)
+        short = rng.randn(int(16000 * 2.88)).astype(np.float32)
+        padded = np.zeros(160000, np.float32)
+        padded[: len(short)] = short
+        taps_masked = model.apply(
+            params, jnp.asarray(padded[None]),
+            valid_samples=jnp.asarray([len(short)]),
+        )
+        # direct: only first 3 examples
+        from acav100m_tpu.ops import melspec
+
+        ex = melspec.vggish_examples(jnp.asarray(padded[None]))  # (1,10,96,64)
+        flat = ex.reshape(10, 96, 64, 1)
+        blocks = model.backbone.apply(params, flat)
+        for tm, tap in zip(taps_masked, blocks):
+            want = np.asarray(tap[:3]).mean(axis=0)
+            np.testing.assert_allclose(np.asarray(tm[0]), want, rtol=1e-4, atol=1e-5)
+
+    def test_torch_conversion_shapes(self, model_and_params):
+        model, params = model_and_params
+        # synthesize a torch-like state dict with the right shapes
+        rng = np.random.RandomState(0)
+        sd = {}
+        chans = [(1, 64), (64, 128), (128, 256), (256, 256), (256, 512), (512, 512)]
+        keys = ["features.0", "features.3", "features.6", "features.8",
+                "features.11", "features.13"]
+        for (i, o), k in zip(chans, keys):
+            sd[f"{k}.weight"] = rng.randn(o, i, 3, 3).astype(np.float32)
+            sd[f"{k}.bias"] = rng.randn(o).astype(np.float32)
+        for k, (i, o) in zip(
+            ["embeddings.0", "embeddings.2", "embeddings.4"],
+            [(12288, 4096), (4096, 4096), (4096, 128)],
+        ):
+            sd[f"{k}.weight"] = rng.randn(o, i).astype(np.float32)
+            sd[f"{k}.bias"] = rng.randn(o).astype(np.float32)
+        converted = convert_torch_state_dict(sd)
+        # tree structure must match the flax init exactly
+        want = jax.tree_util.tree_structure(params)
+        got = jax.tree_util.tree_structure(converted)
+        assert want == got
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(converted),
+        ):
+            assert a.shape == np.asarray(b).shape
+
+
+class TestSlowFast:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = LayerSlowFast()
+        # small spatial size for test speed; dims don't depend on H,W
+        params = model.init(jax.random.PRNGKey(0), num_frames=32, size=64)
+        return model, params
+
+    def test_layer_dims(self, model_and_params):
+        model, params = model_and_params
+        frames = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (1, 32, 64, 64, 3)),
+            jnp.uint8,
+        )
+        taps = jax.jit(model.apply)(params, frames)
+        assert [int(t.shape[-1]) for t in taps] == [88, 352, 704, 1408, 2304]
+        assert all(np.isfinite(np.asarray(t)).all() for t in taps)
+        # reference check: dims (slowfast.py:103)
+        assert LayerSlowFast.output_dims == [88, 352, 704, 1408, 2304]
+
+    def test_pack_pathways(self):
+        frames = jnp.arange(32)[None, :, None, None, None] * jnp.ones((1, 32, 2, 2, 3))
+        slow, fast = pack_pathways(frames)
+        assert slow.shape == (1, 8, 2, 2, 3)
+        assert fast.shape == (1, 32, 2, 2, 3)
+        np.testing.assert_array_equal(
+            np.asarray(slow[0, :, 0, 0, 0]), np.arange(0, 32, 4)
+        )
+
+    def test_normalize(self):
+        x = jnp.full((1, 1, 1, 1, 3), 255, jnp.uint8)
+        got = np.asarray(normalize_frames(x))
+        np.testing.assert_allclose(got, (1.0 - 0.45) / 0.225, rtol=1e-6)
+
+    def test_conversion_tree_matches(self, model_and_params):
+        from acav100m_tpu.models.slowfast import (
+            convert_pyslowfast_state_dict,
+            STAGE_BLOCKS,
+            BETA_INV,
+        )
+
+        model, variables = model_and_params
+        # build a synthetic torch state dict with correct shapes
+        rng = np.random.RandomState(0)
+        sd = {}
+
+        def add_bn(prefix, c):
+            sd[f"{prefix}.weight"] = rng.randn(c).astype(np.float32)
+            sd[f"{prefix}.bias"] = rng.randn(c).astype(np.float32)
+            sd[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32)
+            sd[f"{prefix}.running_var"] = np.abs(rng.randn(c)).astype(np.float32)
+
+        # stems
+        sd["s1.pathway0_stem.conv.weight"] = rng.randn(64, 3, 1, 7, 7).astype(np.float32)
+        add_bn("s1.pathway0_stem.bn", 64)
+        sd["s1.pathway1_stem.conv.weight"] = rng.randn(8, 3, 5, 7, 7).astype(np.float32)
+        add_bn("s1.pathway1_stem.bn", 8)
+        # fuses
+        fuse_fast = [8, 32, 64, 128]
+        for i, fc in enumerate(fuse_fast):
+            sd[f"s{i + 1}_fuse.conv_f2s.weight"] = rng.randn(
+                fc * 2, fc, 7, 1, 1
+            ).astype(np.float32)
+            add_bn(f"s{i + 1}_fuse.bn", fc * 2)
+        # stages
+        slow_in = [80, 320, 640, 1280]
+        slow_out = [256, 512, 1024, 2048]
+        slow_inner = [64, 128, 256, 512]
+        slow_kt = [1, 1, 3, 3]
+        for si in range(4):
+            for pw in (0, 1):
+                div = 1 if pw == 0 else BETA_INV
+                cin = slow_in[si] if pw == 0 else slow_out[si - 1] // BETA_INV if si else 8
+                cout, cinn = slow_out[si] // div, slow_inner[si] // div
+                kt = slow_kt[si] if pw == 0 else 3
+                for bi in range(STAGE_BLOCKS[si]):
+                    pre = f"s{si + 2}.pathway{pw}_res{bi}"
+                    bin_ = cin if bi == 0 else cout
+                    sd[f"{pre}.branch2.a.weight"] = rng.randn(
+                        cinn, bin_, kt, 1, 1
+                    ).astype(np.float32)
+                    add_bn(f"{pre}.branch2.a_bn", cinn)
+                    sd[f"{pre}.branch2.b.weight"] = rng.randn(
+                        cinn, cinn, 1, 3, 3
+                    ).astype(np.float32)
+                    add_bn(f"{pre}.branch2.b_bn", cinn)
+                    sd[f"{pre}.branch2.c.weight"] = rng.randn(
+                        cout, cinn, 1, 1, 1
+                    ).astype(np.float32)
+                    add_bn(f"{pre}.branch2.c_bn", cout)
+                    if bi == 0:
+                        sd[f"{pre}.branch1.weight"] = rng.randn(
+                            cout, bin_, 1, 1, 1
+                        ).astype(np.float32)
+                        add_bn(f"{pre}.branch1_bn", cout)
+        converted = convert_pyslowfast_state_dict(sd)
+        want = jax.tree_util.tree_structure(variables)
+        got = jax.tree_util.tree_structure(converted)
+        assert want == got, "converted tree != flax init tree"
+        for (kp, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(variables),
+            jax.tree_util.tree_leaves(converted),
+        ):
+            assert a.shape == np.asarray(b).shape, f"shape mismatch at {kp}"
