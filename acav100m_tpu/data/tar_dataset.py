@@ -1,0 +1,168 @@
+"""Streaming tar shard dataset + batched device feed.
+
+Replaces the reference's WebDataset stack (``MetaWebDataset``
+``feature_extraction/code/data/metawebdataset.py``, pipeline
+``data/webdataset.py:39-123``, loader/collate ``data/loader.py``) with a
+dependency-free host pipeline:
+
+* stream tar members shard by shard, join shard metadata, honor per-shard
+  skip lists (resume);
+* decode + prepare each clip (errors skip-and-continue, the reference's
+  ``warn_and_continue`` behavior);
+* assemble static-shape batches (pad the tail batch and mask) and
+  double-buffer them onto the device with a background prefetch thread —
+  the host-side equivalent of keeping the MXU fed.
+"""
+
+from __future__ import annotations
+
+import queue
+import tarfile
+import threading
+import warnings
+from pathlib import Path
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .video import decode_npz, prepare_clip
+
+
+class TarShardDataset:
+    """Iterates {filename, shard_name, shard_size, **clip arrays}."""
+
+    def __init__(
+        self,
+        shard_paths: Sequence,
+        metas: Dict[str, Dict[str, Dict]],
+        skip_lists: Optional[Dict[str, List[str]]] = None,
+        decoder: Callable[[bytes], Optional[Dict]] = decode_npz,
+        prepare: Callable[[Optional[Dict]], Optional[Dict]] = prepare_clip,
+        on_error: str = "continue",
+    ):
+        self.shard_paths = [Path(p) for p in shard_paths]
+        self.metas = metas
+        self.skip_lists = skip_lists or {}
+        self.decoder = decoder
+        self.prepare = prepare
+        self.on_error = on_error
+
+    def __iter__(self) -> Iterator[Dict]:
+        for shard_path in self.shard_paths:
+            shard_name = shard_path.stem
+            meta = self.metas.get(shard_name, {})
+            shard_size = len(meta)
+            skip = set(self.skip_lists.get(shard_name, []))
+            try:
+                tf = tarfile.open(shard_path)
+            except Exception as e:  # skip-and-continue per shard
+                warnings.warn(f"failed to open shard {shard_path}: {e}")
+                continue
+            with tf:
+                for member in tf.getmembers():
+                    if not member.isfile():
+                        continue
+                    fname = Path(member.name).name
+                    stem = Path(member.name).stem
+                    if stem not in meta or fname in skip:
+                        continue
+                    try:
+                        data = tf.extractfile(member).read()
+                        clip = self.prepare(self.decoder(data))
+                    except Exception as e:
+                        if self.on_error == "raise":
+                            raise
+                        warnings.warn(f"decode failed for {fname}: {e}")
+                        continue
+                    if clip is None:
+                        continue
+                    yield {
+                        "filename": fname,
+                        "shard_name": shard_name,
+                        "shard_size": shard_size,
+                        **clip,
+                    }
+
+
+def collate(samples: List[Dict], batch_size: int) -> Dict:
+    """Stack a (possibly short) list of samples into a padded batch.
+
+    Static shapes: the batch is padded to ``batch_size`` by repeating the
+    first sample; ``batch_mask`` marks real rows. The reference instead
+    fell back to per-sample loops on ragged batches
+    (``process_batch.py:10-24``) — masking keeps one compiled program.
+    """
+    n = len(samples)
+    assert 0 < n <= batch_size
+    pad = batch_size - n
+    batch = {
+        "filename": [s["filename"] for s in samples] + [""] * pad,
+        "shard_name": [s["shard_name"] for s in samples] + [""] * pad,
+        "shard_size": [s["shard_size"] for s in samples] + [0] * pad,
+        "batch_mask": np.asarray([True] * n + [False] * pad),
+    }
+    for key in ("frames", "audio", "valid_samples"):
+        if key in samples[0]:
+            arrs = [np.asarray(s[key]) for s in samples]
+            arrs += [np.zeros_like(arrs[0])] * pad
+            batch[key] = np.stack(arrs)
+    return batch
+
+
+def batched(source: Iterable[Dict], batch_size: int) -> Iterator[Dict]:
+    buf: List[Dict] = []
+    for sample in source:
+        buf.append(sample)
+        if len(buf) == batch_size:
+            yield collate(buf, batch_size)
+            buf = []
+    if buf:
+        yield collate(buf, batch_size)
+
+
+class Prefetcher:
+    """Background-thread prefetch of host batches (double buffering)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, source: Iterable, depth: int = 2):
+        self.queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.error: Optional[BaseException] = None
+        self.thread = threading.Thread(
+            target=self._fill, args=(iter(source),), daemon=True
+        )
+        self.thread.start()
+
+    def _fill(self, it):
+        try:
+            for item in it:
+                self.queue.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            self.error = e
+        finally:
+            self.queue.put(self._SENTINEL)
+
+    def __iter__(self):
+        while True:
+            item = self.queue.get()
+            if item is self._SENTINEL:
+                if self.error is not None:
+                    raise self.error
+                return
+            yield item
+
+
+def make_loader(
+    shard_paths: Sequence,
+    metas: Dict,
+    batch_size: int,
+    skip_lists: Optional[Dict] = None,
+    decoder: Callable = decode_npz,
+    prepare: Callable = prepare_clip,
+    prefetch: int = 2,
+) -> Iterable[Dict]:
+    ds = TarShardDataset(shard_paths, metas, skip_lists, decoder, prepare)
+    batches = batched(ds, batch_size)
+    if prefetch:
+        return Prefetcher(batches, depth=prefetch)
+    return batches

@@ -1,0 +1,212 @@
+"""Clip decoding backends.
+
+The reference decodes mp4 bytes with PyAV inside torch DataLoader workers
+(``feature_extraction/code/data/video.py:12-163``). Neither PyAV nor an
+ffmpeg binary is guaranteed here, so decoding is a protocol with backends:
+
+* ``decode_npz`` — pre-materialized clips (``.npz`` with ``frames`` uint8
+  (T,H,W,3), ``audio`` float32, ``sample_rate``). This is also the
+  recommended production path on TPU hosts: decode once on CPU fleets,
+  stream arrays to the accelerator host (SURVEY.md section 7 "hard parts").
+* ``FfmpegCliDecoder`` — shells out to ffmpeg when the binary exists,
+  producing the same dict.
+
+Post-decode logic matches the reference: uniform temporal sampling to
+``num_frames`` via ``linspace(0, T-1, n)`` (video.py:53-57), skip clips
+shorter than ``duration/4`` (config skip 2.5 s for 10 s clips), mono-mix +
+sample-rate tracking for audio.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def temporal_sampling(frames: np.ndarray, num_frames: int) -> np.ndarray:
+    """Uniformly sample ``num_frames`` frames (reference video.py:53-57)."""
+    t = frames.shape[0]
+    indices = np.linspace(0, t - 1, num_frames).astype(np.int64)
+    return frames[indices]
+
+
+def to_mono(audio: np.ndarray) -> np.ndarray:
+    """(S,) or (S, C)/(C, S) -> mono (S,) (reference vggish preprocess)."""
+    audio = np.asarray(audio)
+    if audio.ndim == 1:
+        return audio
+    if audio.ndim == 2:
+        # channels on the smaller axis
+        if audio.shape[0] < audio.shape[1]:
+            return audio.mean(axis=0)
+        return audio.mean(axis=1)
+    raise ValueError(f"bad audio shape {audio.shape}")
+
+
+def decode_npz(data: bytes) -> Optional[Dict]:
+    """Pre-materialized clip: npz{frames, audio, sample_rate[, video_fps]}."""
+    try:
+        with np.load(io.BytesIO(data)) as z:
+            out = {
+                "frames": np.asarray(z["frames"], dtype=np.uint8),
+                "audio": to_mono(np.asarray(z["audio"], dtype=np.float32)),
+                "sample_rate": int(z["sample_rate"]),
+            }
+            if "video_fps" in z:
+                out["video_fps"] = float(z["video_fps"])
+            else:
+                out["video_fps"] = float(out["frames"].shape[0]) / 10.0
+            return out
+    except Exception:
+        return None
+
+
+class FfmpegCliDecoder:
+    """Decode mp4 bytes via the ffmpeg binary (when present).
+
+    Scales the short side to ``size`` and center-crops, so frames come out
+    at a static shape — the reference does resize/crop later on GPU
+    (utils_slowfast/process_data.py); doing it in the decoder keeps device
+    shapes static.
+    """
+
+    def __init__(self, size: int = 256, sample_rate: int = 16000):
+        self.size = size
+        self.sample_rate = sample_rate
+        self.ffmpeg = shutil.which("ffmpeg")
+        self.ffprobe = shutil.which("ffprobe")
+
+    @property
+    def available(self) -> bool:
+        return self.ffmpeg is not None
+
+    def __call__(self, data: bytes) -> Optional[Dict]:
+        if not self.available:
+            raise RuntimeError("ffmpeg binary not found")
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+            f.write(data)
+            f.flush()
+            return self.decode_path(f.name)
+
+    def _probe(self, path) -> Dict:
+        out = subprocess.run(
+            [self.ffprobe, "-v", "error", "-print_format", "json",
+             "-show_streams", str(path)],
+            capture_output=True,
+        )
+        return json.loads(out.stdout or b"{}")
+
+    def decode_path(self, path) -> Optional[Dict]:
+        try:
+            info = self._probe(path)
+            vstream = next(
+                (s for s in info.get("streams", []) if s["codec_type"] == "video"),
+                None,
+            )
+            if vstream is None:
+                return None
+            fps = eval_fraction(vstream.get("avg_frame_rate", "30/1"))
+            s = self.size
+            vf = (
+                f"scale=w={s}:h={s}:force_original_aspect_ratio=increase,"
+                f"crop={s}:{s}"
+            )
+            vproc = subprocess.run(
+                [self.ffmpeg, "-v", "error", "-i", str(path), "-vf", vf,
+                 "-f", "rawvideo", "-pix_fmt", "rgb24", "-"],
+                capture_output=True,
+            )
+            frames = np.frombuffer(vproc.stdout, dtype=np.uint8)
+            n = len(frames) // (s * s * 3)
+            if n == 0:
+                return None
+            frames = frames[: n * s * s * 3].reshape(n, s, s, 3)
+            aproc = subprocess.run(
+                [self.ffmpeg, "-v", "error", "-i", str(path), "-ac", "1",
+                 "-ar", str(self.sample_rate), "-f", "f32le", "-"],
+                capture_output=True,
+            )
+            audio = np.frombuffer(aproc.stdout, dtype=np.float32)
+            return {
+                "frames": frames,
+                "audio": audio.copy(),
+                "sample_rate": self.sample_rate,
+                "video_fps": float(fps),
+            }
+        except Exception:
+            return None
+
+
+def eval_fraction(s: str) -> float:
+    if "/" in s:
+        num, den = s.split("/")
+        den = float(den)
+        return float(num) / den if den else 0.0
+    return float(s)
+
+
+def get_decoder(name: str = "npz", **kwargs):
+    if name == "npz":
+        return decode_npz
+    if name == "ffmpeg":
+        return FfmpegCliDecoder(**kwargs)
+    raise ValueError(f"unknown decoder {name!r}")
+
+
+def prepare_clip(
+    decoded: Optional[Dict],
+    num_frames: int = 32,
+    duration: float = 10.0,
+    skip_shorter_seconds: Optional[float] = 2.5,
+    audio_samples: Optional[int] = None,
+    target_sample_rate: int = 16000,
+) -> Optional[Dict]:
+    """Decoded clip -> static-shape arrays for the device.
+
+    - frames: uniform 32-frame sampling;
+    - skip if shorter than ``skip_shorter_seconds`` (reference
+      load_video video.py:31-34: frames/fps < threshold -> None);
+    - audio: resampled to 16 kHz (host scipy polyphase), zero-padded /
+      truncated to ``audio_samples`` with ``valid_samples`` recorded —
+      replaces the reference's ragged batches with pad-and-mask.
+    """
+    if decoded is None or decoded["frames"].shape[0] == 0:
+        return None
+    frames = decoded["frames"]
+    fps = decoded.get("video_fps") or frames.shape[0] / duration
+    if skip_shorter_seconds is not None and frames.shape[0] / fps < skip_shorter_seconds:
+        return None
+    frames = temporal_sampling(frames, num_frames)
+
+    audio = to_mono(decoded["audio"])
+    sr = decoded["sample_rate"]
+    if audio.shape[0] == 0:
+        return None
+    if sr != target_sample_rate:
+        import math
+
+        from scipy.signal import resample_poly
+
+        g = math.gcd(target_sample_rate, sr)
+        audio = resample_poly(
+            audio.astype(np.float64), target_sample_rate // g, sr // g
+        ).astype(np.float32)
+    if audio_samples is None:
+        audio_samples = int(round(duration * target_sample_rate))
+    valid = min(audio.shape[0], audio_samples)
+    buf = np.zeros(audio_samples, dtype=np.float32)
+    buf[:valid] = audio[:valid]
+    return {
+        "frames": frames,
+        "audio": buf,
+        "valid_samples": valid,
+        "sample_rate": target_sample_rate,
+    }

@@ -1,0 +1,246 @@
+"""Stage 4 — feature extraction (SlowFast + VGGish layer features).
+
+TPU rebuild of ``feature_extraction/code/run_extraction.py:23-134`` with
+identical file contracts: tar+json shards in, per-shard ``.pkl`` feature
+rows out (schema ``utils.io.make_feature_row``), ``_cache.pkl`` resume
+files, >= ``shard_ok_ratio`` partial flush, ``log_*.json`` run manifest.
+
+The compute path is ONE jitted function per batch: normalize ->
+pathway-pack -> SlowFast taps, and log-mel -> VGGish taps — audio and video
+fused in a single XLA program, batch dim shardable over the mesh. Host side
+is the streaming tar loader with prefetch.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict, defaultdict
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, build_config
+from ..data.meta import load_metadata
+from ..data.tar_dataset import make_loader
+from ..data.video import get_decoder, prepare_clip
+from ..models import get_model
+from ..utils.io import (
+    load_shard_caches,
+    make_feature_row,
+    save_shard_cache,
+    save_shard_output,
+)
+from ..utils.manifests import write_run_manifest
+from ..utils.shards import plan_shards
+
+DEFAULTS = {
+    "models": ["layer_vggish", "layer_slowfast"],
+    "model_types": {
+        "audio": ["vggish", "layer_vggish"],
+        "visual": ["slowfast", "layer_slowfast"],
+    },
+    "data": {
+        "batch_size": 16,
+        "media": {"path": None, "num_frames": 32},
+        "output": {"path": "output", "shard_ok_ratio": 0.99},
+        "decoder": "npz",
+    },
+    "computation": {
+        "random_seed": 0,
+        "index": 0,
+        "total": 1,
+        "discard_shards": False,
+    },
+    "acav": {
+        "duration": 10,
+        "skip_shorter_ratio": 0.25,
+        "save_cache_every": 1,
+    },
+    "weights": {"slowfast_file": None, "vggish_file": None},
+    "log_period": 1,
+}
+
+
+def get_config(overrides: Optional[Dict] = None) -> Config:
+    return build_config(DEFAULTS, overrides, strict=True)
+
+
+def build_models(cfg, key: Optional[jax.Array] = None):
+    """Instantiate models + params (converted checkpoints when provided)."""
+    if key is None:
+        key = jax.random.PRNGKey(cfg.computation.random_seed or 0)
+    models = OrderedDict()
+    params = {}
+    kv, ka = jax.random.split(key)
+    for name in cfg.models:
+        cls = get_model(name)
+        model = cls()
+        models[name] = model
+        if model.media_type == "video":
+            p = model.init(kv, num_frames=cfg.data.media.num_frames)
+            wfile = cfg.weights.slowfast_file
+            if wfile and Path(wfile).is_file():
+                from ..models.slowfast import convert_pyslowfast_state_dict
+                from ..utils.io import load_pickle
+
+                p = convert_pyslowfast_state_dict(load_pickle(wfile))
+        else:
+            p = model.init(ka)
+            wfile = cfg.weights.vggish_file
+            if wfile and Path(wfile).is_file():
+                from ..models.vggish import convert_torch_state_dict
+                from ..utils.io import load_pickle
+
+                p = convert_torch_state_dict(load_pickle(wfile))
+        params[name] = p
+    return models, params
+
+
+def make_extract_fn(models: Dict, mesh=None):
+    """One jitted program computing every model's layer taps for a batch."""
+
+    def extract(params, frames, audio, valid_samples):
+        out = {}
+        for name, model in models.items():
+            if model.media_type == "video":
+                out[name] = model.apply(params[name], frames)
+            else:
+                out[name] = model.apply(params[name], audio, valid_samples)
+        return out
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            extract, in_shardings=(repl, data, data, data), out_shardings=repl
+        )
+    return jax.jit(extract)
+
+
+def run_extraction(cfg, decoder=None, mesh=None, models=None, params=None):
+    """Extract features for this process's shards. Returns saved paths."""
+    out_dir = Path(cfg.data.output.path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    mine, all_shards = plan_shards(
+        cfg.data.media.path,
+        index=cfg.computation.index or 0,
+        total=cfg.computation.total or 1,
+        suffix=".tar",
+        discard_remainder=bool(cfg.computation.discard_shards),
+    )
+    metas, shard_sizes_meta = load_metadata(mine)
+    mine = [p for p in mine if Path(p).stem in metas]
+    caches, skip_lists = load_shard_caches(out_dir, mine)
+    # shards whose output pkl already exists are skipped entirely
+    mine = [p for p in mine if not (out_dir / f"{Path(p).stem}.pkl").is_file()]
+
+    if models is None or params is None:
+        models, params = build_models(cfg)
+    model_names = list(models)
+    audio_keys = list(cfg.model_types.audio or [])
+    extract_fn = make_extract_fn(models, mesh)
+
+    if decoder is None:
+        decoder = get_decoder(cfg.data.decoder or "npz")
+    duration = cfg.acav.duration or 10
+    skip_secs = duration * (cfg.acav.skip_shorter_ratio or 0.25)
+
+    def prepare(decoded):
+        return prepare_clip(
+            decoded,
+            num_frames=cfg.data.media.num_frames or 32,
+            duration=duration,
+            skip_shorter_seconds=skip_secs,
+        )
+
+    loader = make_loader(
+        mine, metas, cfg.data.batch_size or 16,
+        skip_lists=skip_lists, decoder=decoder, prepare=prepare,
+    )
+
+    # per-shard accumulation: rows[shard][stem] = feature row
+    rows: Dict[str, "OrderedDict[str, Dict]"] = defaultdict(OrderedDict)
+    shard_sizes: Dict[str, int] = {}
+    saved_paths: List[Path] = []
+
+    # resume from caches
+    for shard_name, cache in caches.items():
+        for row in cache:
+            rows[shard_name][Path(row["filename"]).stem] = row
+            shard_sizes[shard_name] = row["shard_size"]
+
+    def save_shard(shard_name, final=True):
+        path = save_shard_output(
+            list(rows[shard_name].values()), out_dir, shard_name, final=final
+        )
+        saved_paths.append(path)
+        del rows[shard_name]
+        shard_sizes.pop(shard_name, None)
+
+    save_cache_every = cfg.acav.save_cache_every or 1
+    t0 = time.time()
+    for n_iter, batch in enumerate(loader):
+        taps = extract_fn(
+            params,
+            jnp.asarray(batch["frames"]),
+            jnp.asarray(batch["audio"]),
+            jnp.asarray(batch["valid_samples"]),
+        )
+        taps = {
+            name: [np.asarray(t, dtype=np.float32) for t in tap_list]
+            for name, tap_list in taps.items()
+        }
+        for i in range(len(batch["filename"])):
+            if not batch["batch_mask"][i]:
+                continue
+            fname = batch["filename"][i]
+            shard_name = batch["shard_name"][i]
+            stem = Path(fname).stem
+            if stem in rows[shard_name]:
+                continue
+            per_model = []
+            for name in model_names:
+                per_model.append(
+                    {
+                        "model_key": name,
+                        "extractor_name": models[name].model_tag["name"],
+                        "dataset": models[name].model_tag["dataset"],
+                        "array": [layer[i] for layer in taps[name]],
+                    }
+                )
+            rows[shard_name][stem] = make_feature_row(
+                fname, shard_name, int(batch["shard_size"][i]), per_model,
+                audio_keys,
+            )
+            shard_sizes[shard_name] = int(batch["shard_size"][i])
+        # cache + complete-shard flush
+        for shard_name in list(rows):
+            if (n_iter + 1) % save_cache_every == 0:
+                save_shard_cache(list(rows[shard_name].values()), out_dir, shard_name)
+            if (
+                shard_name in shard_sizes
+                and len(rows[shard_name]) >= shard_sizes[shard_name]
+            ):
+                save_shard(shard_name)
+        if cfg.log_period and (n_iter + 1) % cfg.log_period == 0:
+            print(
+                f"[extract idx={cfg.computation.index}] iter {n_iter + 1} "
+                f"({time.time() - t0:.1f}s)"
+            )
+
+    # final pass: flush shards >= shard_ok_ratio complete
+    ratio = cfg.data.output.shard_ok_ratio or 0.99
+    for shard_name in list(rows):
+        if shard_name in shard_sizes and len(rows[shard_name]) >= round(
+            shard_sizes[shard_name] * ratio
+        ):
+            save_shard(shard_name)
+
+    write_run_manifest(out_dir, saved_paths)
+    return saved_paths
