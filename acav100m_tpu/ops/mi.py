@@ -153,11 +153,50 @@ def calc_constant(last: Dict) -> jnp.ndarray:
     return jnp.ones_like(last["n"])
 
 
+def _comb2(x: jnp.ndarray) -> jnp.ndarray:
+    return x * (x - 1.0) / 2.0
+
+
+def _pair_stats(last: Dict):
+    """Pair-counting sums over the contingency tables
+    (reference correspondence_retrieval measures/efficient_pair.py:23-131):
+    S_ab = sum comb(N,2), S_a = sum comb(a,2), S_b = sum comb(b,2),
+    nc = comb(n,2)."""
+    s_ab = _comb2(last["N"]).sum(axis=(2, 3))  # W x P
+    s_a = _comb2(last["a"]).sum(axis=-1)
+    s_b = _comb2(last["b"]).sum(axis=-1)
+    nc = _comb2(last["n"])
+    return s_ab, s_a, s_b, nc
+
+
+def calc_fm(last: Dict) -> jnp.ndarray:
+    """Fowlkes-Mallows: TP/sqrt((TP+FP)(TP+FN)) = S_ab/sqrt(S_a*S_b)."""
+    s_ab, s_a, s_b, _ = _pair_stats(last)
+    return s_ab / jnp.sqrt(ensure_nonzero(s_a * s_b))
+
+
+def calc_rand(last: Dict) -> jnp.ndarray:
+    """Rand index: (TP + TN) / comb(n, 2)."""
+    s_ab, s_a, s_b, nc = _pair_stats(last)
+    tn = nc - (s_a + s_b - s_ab)
+    return (s_ab + tn) / ensure_nonzero(nc)
+
+
+def calc_arand(last: Dict) -> jnp.ndarray:
+    """Adjusted Rand index."""
+    s_ab, s_a, s_b, nc = _pair_stats(last)
+    expected = s_a * s_b / ensure_nonzero(nc)
+    return (s_ab - expected) / ensure_nonzero(0.5 * (s_a + s_b) - expected)
+
+
 _SCORE_FNS = {
     "mi": lambda last, avg: calc_mi(last),
     "ami": calc_ami,
     "nmi": calc_nmi,
     "constant": lambda last, avg: calc_constant(last),
+    "fm": lambda last, avg: calc_fm(last),
+    "rand": lambda last, avg: calc_rand(last),
+    "arand": lambda last, avg: calc_arand(last),
 }
 
 

@@ -1,0 +1,156 @@
+"""Retrieval experiment runner: the framework's ground-truth correctness
+suite.
+
+Port of ``correspondence_retrieval/code/run.py:42-133`` + grid runner
+(``grid_search.py``): build paired views with known correspondence, derange
+half the classes, cluster each (view, layer), greedily select, and score
+precision/recall/F1 against the known matched set at every prefix.
+
+Datasets: the reference used CIFAR10/MNIST(+rotations)/FSDD/Kinetics-Sounds
+features extracted with a ResNet — all behind downloads unavailable here,
+so the built-in dataset is synthetic paired gaussian views (optionally
+multi-layer); torchvision-backed views plug in through the same dict
+format when available.
+"""
+
+from __future__ import annotations
+
+import itertools
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.pairing import get_cluster_pairing
+from ..utils.io import dump_pickle
+from .clustering import assignments_matrix, cluster_views
+from .derangement import derange_views, precision_recall_f1, prefix_scores
+from .measures import get_oracle_measure
+from .optimizers import OPTIMIZERS, efficient_batch, efficient_greedy
+
+
+def gaussian_pair_views(
+    nclasses: int = 10,
+    per_class: int = 30,
+    dim: int = 16,
+    num_layers: int = 2,
+    noise: float = 0.3,
+    seed: int = 0,
+) -> Dict[str, Dict[str, Dict]]:
+    """Two modalities x ``num_layers`` layers of class-gaussian features.
+
+    Returns the derangement input format {view: {vid: {data, label}}};
+    views are named ``{modality}-layer_{i}`` so bipartite/diagonal pairings
+    work on (modality, layer) keys.
+    """
+    rng = np.random.RandomState(seed)
+    views: Dict[str, Dict[str, Dict]] = {}
+    class_means = {
+        (m, l): rng.randn(nclasses, dim) * 2.0
+        for m in ("audio", "visual")
+        for l in range(num_layers)
+    }
+    for m in ("audio", "visual"):
+        for l in range(num_layers):
+            view_name = f"{m}-layer_{l}"
+            view: Dict[str, Dict] = {}
+            for c in range(nclasses):
+                for i in range(per_class):
+                    vid = f"c{c:02d}_{i:04d}"
+                    feat = class_means[(m, l)][c] + noise * rng.randn(dim)
+                    view[vid] = {"data": feat.astype(np.float32), "label": c}
+            views[view_name] = view
+    return views
+
+
+def run_experiment(
+    views: Optional[Dict] = None,
+    deranged_classes_ratio: float = 0.5,
+    ncentroids: int = 10,
+    clustering_method: str = "sgd",
+    optimizer: str = "efficient_greedy",
+    measure: str = "mi",
+    pairing: str = "combination",
+    selection_size: Optional[int] = None,
+    seed: int = 0,
+    out_path=None,
+    batch_size: int = 20,
+    batch_selection_size: int = 4,
+) -> Dict:
+    """One experiment -> result dict with precision/recall/f1 (+ prefixes)."""
+    rng = np.random.RandomState(seed)
+    if views is None:
+        views = gaussian_pair_views(seed=seed)
+    der = derange_views(views, deranged_classes_ratio, rng=rng)
+    feats = {
+        view: np.stack([d["data"] for d in rows])
+        for view, rows in der["features"].items()
+    }
+    clusterings = cluster_views(
+        feats, ncentroids, method=clustering_method, seed=seed
+    )
+    assignments = assignments_matrix(clusterings)
+    keys = [tuple(k.split("-", 1)) for k in sorted(clusterings)]
+    pairs = get_cluster_pairing(keys, pairing)
+
+    subset_size = selection_size or der["subset_size"]
+    start = [int(rng.randint(der["dataset_size"]))]
+    if optimizer == "efficient_greedy":
+        order, gains = efficient_greedy(
+            assignments, pairs, ncentroids, subset_size, start, kind=measure
+        )
+    elif optimizer == "efficient_batch":
+        order, gains = efficient_batch(
+            assignments, pairs, ncentroids, subset_size, start,
+            batch_size=batch_size, selection_size=batch_selection_size,
+            seed=seed,
+        )
+    elif optimizer in ("greedy", "celf"):
+        oracle = get_oracle_measure(measure, assignments, pairs)
+        order, gains = OPTIMIZERS[optimizer](
+            oracle, der["dataset_size"], subset_size, start
+        )
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+
+    order = order[:subset_size]
+    p, r, f1 = precision_recall_f1(order, der["true_ids"])
+    result = {
+        "config": {
+            "deranged_classes_ratio": deranged_classes_ratio,
+            "ncentroids": ncentroids,
+            "clustering_method": clustering_method,
+            "optimizer": optimizer,
+            "measure": measure,
+            "pairing": pairing,
+            "seed": seed,
+        },
+        "precision": p,
+        "recall": r,
+        "f1": f1,
+        "subset_size": subset_size,
+        "dataset_size": der["dataset_size"],
+        "prefix_scores": prefix_scores(order, der["true_ids"],
+                                       every=max(subset_size // 10, 1)),
+        "selection": list(map(int, order)),
+        "true_ids": der["true_ids"],
+    }
+    if out_path is not None:
+        dump_pickle(result, out_path)
+    return result
+
+
+def grid_search(option_grid: Dict[str, Sequence], out_dir=None,
+                views: Optional[Dict] = None) -> List[Dict]:
+    """Cartesian-product grid (reference grid_search.py:25-175),
+    sequential. Keys map to ``run_experiment`` kwargs."""
+    keys = sorted(option_grid)
+    results = []
+    for i, combo in enumerate(itertools.product(*[option_grid[k] for k in keys])):
+        kwargs = dict(zip(keys, combo))
+        out_path = None
+        if out_dir is not None:
+            tag = "_".join(f"{k}-{v}" for k, v in kwargs.items())
+            out_path = Path(out_dir) / f"result_{i:04d}_{tag}.pkl"
+        results.append(run_experiment(views=views, out_path=out_path, **kwargs))
+    return results

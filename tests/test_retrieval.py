@@ -1,0 +1,197 @@
+"""The ground-truth correctness suite: derangement experiments must recover
+matched samples (the reference's de-facto test strategy, SURVEY.md sec. 4)."""
+
+import numpy as np
+import pytest
+
+from acav100m_tpu.retrieval import derangement as dr
+from acav100m_tpu.retrieval import clustering as rc
+from acav100m_tpu.retrieval.measures import get_oracle_measure
+from acav100m_tpu.retrieval.optimizers import naive_greedy, celf
+from acav100m_tpu.retrieval.runner import (
+    gaussian_pair_views,
+    grid_search,
+    run_experiment,
+)
+
+
+class TestDerangement:
+    def test_structure(self):
+        views = gaussian_pair_views(nclasses=6, per_class=5, num_layers=1, seed=1)
+        der = dr.derange_views(views, 0.5, rng=np.random.RandomState(0))
+        assert der["dataset_size"] == 6 * 5
+        assert der["nclasses"] == 6
+        # 3 matched classes of 5 -> 15 true ids
+        assert der["subset_size"] == 15
+        assert len(der["true_ids"]) == 15
+        for rows in der["features"].values():
+            assert len(rows) == 30
+
+    def test_true_ids_really_match(self):
+        views = gaussian_pair_views(nclasses=6, per_class=5, num_layers=1,
+                                    noise=0.0, seed=2)
+        der = dr.derange_views(views, 0.5, rng=np.random.RandomState(0))
+        labels = {
+            view: np.array([d["label"] for d in rows])
+            for view, rows in der["features"].items()
+        }
+        la, lv = labels["audio-layer_0"], labels["visual-layer_0"]
+        true = np.asarray(der["true_ids"])
+        matched_labels = set(der["matched_classes"]["audio-layer_0"])
+        # matched rows agree across views and belong to matched classes
+        assert (la[true] == lv[true]).all()
+        assert set(la[true]) == matched_labels
+        # deranged rows agree at most by chance
+        rest = np.setdiff1d(np.arange(30), true)
+        assert (la[rest] == lv[rest]).mean() < 0.67
+
+    def test_precision_recall_f1(self):
+        p, r, f = dr.precision_recall_f1([1, 2, 3, 4], [3, 4, 5, 6])
+        assert (p, r) == (0.5, 0.5)
+        assert f == pytest.approx(0.5)
+
+
+class TestClusteringFrontends:
+    @pytest.mark.parametrize("method", ["sgd", "scipy", "sklearn", "pca"])
+    def test_frontends_cluster_blobs(self, method):
+        rng = np.random.RandomState(0)
+        means = rng.randn(4, 8) * 5
+        labels = rng.randint(0, 4, 200)
+        feats = (means[labels] + 0.1 * rng.randn(200, 8)).astype(np.float32)
+        cl = rc.cluster_views({"v-l0": feats}, 4, method=method, seed=0)["v-l0"]
+        assert cl.assignments.shape == (200,)
+        if method != "pca":  # pca is a 1-d bucketing, weaker
+            # cluster purity; sgd mini-batch k-means (like the reference's)
+            # can merge two blobs from its near-zero init -> weaker bound
+            purity = 0
+            for c in range(4):
+                members = labels[cl.assignments == c]
+                if len(members):
+                    purity += np.bincount(members).max()
+            assert purity / 200 > (0.7 if method == "sgd" else 0.9)
+
+    def test_assign_matches_training_assignments(self):
+        rng = np.random.RandomState(1)
+        feats = rng.randn(50, 4).astype(np.float32)
+        cl = rc.sklearn_kmeans(feats, 3, seed=0)
+        np.testing.assert_array_equal(cl.assign(feats), cl.assignments)
+
+
+class TestEndToEndRetrieval:
+    def test_efficient_greedy_recovers_matches(self):
+        res = run_experiment(
+            views=gaussian_pair_views(nclasses=8, per_class=12, num_layers=2,
+                                      noise=0.2, seed=3),
+            ncentroids=8,
+            clustering_method="sklearn",
+            optimizer="efficient_greedy",
+            measure="mi",
+            seed=3,
+        )
+        # ~0.77 is the oracle-verified ceiling for this geometry (the
+        # naive sklearn-MI greedy scores identically); chance is ~0.5
+        assert res["precision"] > 0.7
+        assert res["recall"] > 0.7
+
+    def test_batch_greedy_recovers_matches(self):
+        res = run_experiment(
+            views=gaussian_pair_views(nclasses=8, per_class=12, num_layers=2,
+                                      noise=0.2, seed=4),
+            ncentroids=8,
+            clustering_method="sklearn",
+            optimizer="efficient_batch",
+            measure="mi",
+            seed=4,
+        )
+        assert res["precision"] > 0.7
+
+    def test_sgd_clustering_path(self):
+        res = run_experiment(
+            views=gaussian_pair_views(nclasses=6, per_class=10, num_layers=1,
+                                      noise=0.2, seed=5),
+            ncentroids=6,
+            clustering_method="sgd",
+            optimizer="efficient_greedy",
+            measure="mi",
+            seed=5,
+        )
+        # sgd mini-batch k-means clusters less cleanly than Lloyd's on tiny
+        # data (near-zero init; same property as the reference's) -> the
+        # bound is lower but still clearly above the ~0.5 chance level
+        assert res["precision"] > 0.55
+
+    def test_constant_measure_is_chance_level(self):
+        """Null-hypothesis baseline: ConstantMeasure precision ~ the matched
+        fraction (the reference's sanity check)."""
+        views = gaussian_pair_views(nclasses=8, per_class=12, num_layers=1,
+                                    noise=0.2, seed=6)
+        res = run_experiment(
+            views=views, ncentroids=8, clustering_method="sklearn",
+            optimizer="efficient_greedy", measure="constant", seed=6,
+        )
+        # ~half the dataset is matched; constant scores select ~randomly
+        assert res["precision"] < 0.6
+
+    def test_naive_greedy_agrees_with_efficient_on_tiny(self):
+        """Oracle cross-validation: naive sklearn-MI greedy and the
+        efficient device greedy pick similar-quality subsets."""
+        views = gaussian_pair_views(nclasses=4, per_class=6, num_layers=1,
+                                    noise=0.1, seed=7)
+        rng = np.random.RandomState(7)
+        der = dr.derange_views(views, 0.5, rng=rng)
+        feats = {
+            v: np.stack([d["data"] for d in rows])
+            for v, rows in der["features"].items()
+        }
+        cls = rc.cluster_views(feats, 4, method="sklearn", seed=7)
+        assignments = rc.assignments_matrix(cls)
+        pairs = [(0, 1)]
+        oracle = get_oracle_measure("mi", assignments, pairs)
+        naive_sel, _ = naive_greedy(oracle, der["dataset_size"],
+                                    der["subset_size"], [0])
+        from acav100m_tpu.retrieval.optimizers import efficient_greedy
+
+        eff_sel, _ = efficient_greedy(assignments, pairs, 4,
+                                      der["subset_size"], [0])
+        p_naive, _, _ = dr.precision_recall_f1(naive_sel, der["true_ids"])
+        p_eff, _, _ = dr.precision_recall_f1(eff_sel, der["true_ids"])
+        assert abs(p_naive - p_eff) < 0.25
+
+    def test_celf_matches_naive_greedy(self):
+        """CELF == exact greedy on a SUBMODULAR objective (lazy evaluation
+        is only sound under diminishing returns; the pair-agreement measure
+        is supermodular, where the two legitimately diverge)."""
+
+        rng = np.random.RandomState(8)
+        universe = 40
+        sets = [set(rng.choice(universe, size=8, replace=False).tolist())
+                for _ in range(20)]
+
+        class Coverage:
+            def score(self, indices):
+                covered = set()
+                for i in indices:
+                    covered |= sets[i]
+                return len(covered)
+
+        oracle = Coverage()
+        naive_sel, _ = naive_greedy(oracle, 20, 6, [0])
+        celf_sel, _ = celf(oracle, 20, 6, [0])
+        assert oracle.score(celf_sel) == oracle.score(naive_sel)
+
+    def test_grid_search(self, tmp_path):
+        views = gaussian_pair_views(nclasses=4, per_class=6, num_layers=1,
+                                    noise=0.2, seed=9)
+        results = grid_search(
+            {
+                "measure": ["mi", "nmi"],
+                "ncentroids": [4],
+                "clustering_method": ["sklearn"],
+                "optimizer": ["efficient_greedy"],
+                "seed": [9],
+            },
+            out_dir=tmp_path,
+            views=views,
+        )
+        assert len(results) == 2
+        assert len(list(tmp_path.glob("result_*.pkl"))) == 2
