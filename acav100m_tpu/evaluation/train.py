@@ -1,0 +1,337 @@
+"""Evaluation-suite training: contrastive pretrain + linear eval.
+
+Rebuild of ``evaluation/code/{contrast_net,classify_net}.py`` +
+``utils/lr_policy.py`` + ``models/optimizer.py`` + ``utils/checkpoint.py``:
+
+* lr policies: cosine / linear with linear warmup (lr_policy.py:6-61);
+* optimizers: adamw / adam / sgd via optax (models/optimizer.py);
+* pretrain loop: global-batch InfoNCE (see ``models.contrast_loss``),
+  preemptible ``epoch_latest`` / ``step_latest`` checkpoints
+  (contrast_net.py:105-135, 252-270);
+* linear eval: frozen backbone (stop_gradient + inference BN — the
+  reference's ``torch.no_grad`` backbone, classify.py:255-326), trainable
+  ``ClassifyHead``, optimizer over head params only (classify_net.py:87);
+* test-time ensembling: per-video score sums over ensemble views
+  (utils/meters.py:522-689).
+
+The train step is ONE jitted SPMD program; with a mesh, batches shard over
+the data axis and XLA inserts the gradient all-reduce (DDP), the embedding
+gather (diff_all_gather) and global BN stats (SyncBN) automatically.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils.io import dump_pickle, load_pickle
+from .models import ClassifyHead, Contrast, contrast_loss, strip_heads
+
+DATA_MEAN = (0.45, 0.45, 0.45)
+DATA_STD = (0.225, 0.225, 0.225)
+
+
+# -- lr policies / optimizers --------------------------------------------------
+
+def lr_schedule(policy: str, base_lr: float, total_steps: int,
+                warmup_steps: int = 0, warmup_start_lr: float = 0.0,
+                end_lr: float = 0.0):
+    """optax schedule mirroring utils/lr_policy.py (cosine/linear +
+    linear warmup)."""
+    decay_steps = max(total_steps - warmup_steps, 1)
+    if policy == "cosine":
+        decay = optax.cosine_decay_schedule(base_lr, decay_steps, alpha=end_lr / base_lr if base_lr else 0.0)
+    elif policy == "linear":
+        decay = optax.linear_schedule(base_lr, end_lr, decay_steps)
+    elif policy == "constant":
+        decay = optax.constant_schedule(base_lr)
+    else:
+        raise ValueError(f"unknown lr policy {policy!r}")
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(warmup_start_lr, base_lr, warmup_steps)
+        return optax.join_schedules([warmup, decay], [warmup_steps])
+    return decay
+
+
+def build_optimizer(name: str, schedule, weight_decay: float = 1e-4,
+                    momentum: float = 0.9) -> optax.GradientTransformation:
+    if name == "adamw":
+        return optax.adamw(schedule, weight_decay=weight_decay)
+    if name == "adam":
+        return optax.adam(schedule)
+    if name == "sgd":
+        return optax.sgd(schedule, momentum=momentum, nesterov=True)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+# -- train state ------------------------------------------------------------------
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def normalize_visual(frames: jnp.ndarray) -> jnp.ndarray:
+    x = frames.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(DATA_MEAN)) / jnp.asarray(DATA_STD)
+
+
+def init_pretrain(key, num_frames: int = 8, crop: int = 112,
+                  optimizer: Optional[optax.GradientTransformation] = None,
+                  dtype=jnp.float32) -> Tuple[Contrast, TrainState, optax.GradientTransformation]:
+    model = Contrast(train=True, dtype=dtype)
+    visual = jnp.zeros((2, num_frames, crop, crop, 3))
+    audio = jnp.zeros((2, 80, 128, 1))
+    variables = model.init(key, visual, audio)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if optimizer is None:
+        optimizer = build_optimizer(
+            "adamw", lr_schedule("linear", 1e-3, 10000, warmup_steps=2000)
+        )
+    opt_state = optimizer.init(params)
+    state = TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+    return model, state, optimizer
+
+
+def make_pretrain_step(model: Contrast, optimizer, mesh=None):
+    """Jitted contrastive train step; batch shardable over the mesh."""
+
+    def loss_fn(params, batch_stats, visual, audio):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            normalize_visual(visual),
+            audio,
+            mutable=["batch_stats"],
+        )
+        zv, za = out
+        loss, acc = contrast_loss(zv, za)
+        return loss, (updates["batch_stats"], acc)
+
+    def step(state: TrainState, visual, audio):
+        (loss, (new_stats, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, visual, audio)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "acc": acc}
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(repl, data, data),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# -- checkpointing -----------------------------------------------------------------
+
+def save_checkpoint(out_dir, state: TrainState, epoch: int,
+                    name: str = "epoch_latest") -> Path:
+    """Preemptible latest-checkpoint save (contrast_net.py:252-270)."""
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "epoch": epoch,
+    }
+    return dump_pickle(payload, Path(out_dir) / f"{name}.ckpt")
+
+
+def load_checkpoint(path, optimizer=None) -> Tuple[TrainState, int]:
+    dt = load_pickle(path)
+    opt_state = dt["opt_state"]
+    state = TrainState(
+        params=dt["params"],
+        batch_stats=dt["batch_stats"],
+        opt_state=opt_state,
+        step=jnp.asarray(dt["step"], jnp.int32),
+    )
+    return state, dt["epoch"]
+
+
+def load_pretrained_backbone(path) -> Dict:
+    """Checkpoint surgery for linear eval: strip projection heads."""
+    dt = load_pickle(path)
+    return strip_heads({"params": dt["params"], "batch_stats": dt["batch_stats"]})
+
+
+# -- pretrain loop ------------------------------------------------------------------
+
+def pretrain(
+    batches: Iterable[Dict[str, np.ndarray]],
+    num_steps: int,
+    out_dir=None,
+    mesh=None,
+    save_period: int = 100,
+    base_lr: float = 1e-3,
+    warmup_steps: int = 2000,
+    num_frames: int = 8,
+    crop: int = 112,
+    seed: int = 0,
+    resume: bool = True,
+    log_every: int = 10,
+) -> Tuple[TrainState, list]:
+    """The contrast() pretrain loop (contrast_net.py:25-284), step-based."""
+    schedule = lr_schedule("linear", base_lr, num_steps, warmup_steps=warmup_steps)
+    optimizer = build_optimizer("adamw", schedule)
+    model, state, _ = init_pretrain(
+        jax.random.PRNGKey(seed), num_frames, crop, optimizer
+    )
+    start_epoch = 0
+    if resume and out_dir is not None:
+        latest = Path(out_dir) / "step_latest.ckpt"
+        if latest.is_file():
+            state, start_epoch = load_checkpoint(latest)
+    step_fn = make_pretrain_step(model, optimizer, mesh=mesh)
+    history = []
+    t0 = time.time()
+    for i, batch in enumerate(batches):
+        if int(state.step) >= num_steps:
+            break
+        state, metrics = step_fn(
+            state, jnp.asarray(batch["visual"]), jnp.asarray(batch["audio"])
+        )
+        if (i + 1) % log_every == 0:
+            history.append(
+                {
+                    "step": int(state.step),
+                    "loss": float(metrics["loss"]),
+                    "acc": float(metrics["acc"]),
+                    "time": time.time() - t0,
+                }
+            )
+        if out_dir is not None and (i + 1) % save_period == 0:
+            save_checkpoint(out_dir, state, epoch=start_epoch, name="step_latest")
+    if out_dir is not None:
+        save_checkpoint(out_dir, state, epoch=start_epoch, name="epoch_latest")
+    return state, history
+
+
+# -- linear eval ---------------------------------------------------------------------
+
+def make_feature_fn(backbone_variables: Dict, mode: str = "multimodal"):
+    """Frozen-backbone feature extractor (visual / audio / multimodal)."""
+    from .models import AudioResNet2D, VisualResNet3D
+
+    visual_net = VisualResNet3D(train=False)
+    audio_net = AudioResNet2D(train=False)
+
+    def features(visual, audio):
+        outs = []
+        if mode in ("visual", "multimodal"):
+            v_vars = {
+                "params": backbone_variables["params"]["visual_conv"],
+                "batch_stats": backbone_variables["batch_stats"]["visual_conv"],
+            }
+            outs.append(visual_net.apply(v_vars, normalize_visual(visual)))
+        if mode in ("audio", "multimodal"):
+            a_vars = {
+                "params": backbone_variables["params"]["audio_conv"],
+                "batch_stats": backbone_variables["batch_stats"]["audio_conv"],
+            }
+            outs.append(audio_net.apply(a_vars, audio))
+        feats = jnp.concatenate(outs, axis=-1)
+        return jax.lax.stop_gradient(feats)
+
+    return jax.jit(features)
+
+
+def linear_eval(
+    backbone_variables: Dict,
+    train_batches: Iterable[Dict],
+    test_batches: Iterable[Dict],
+    num_classes: int,
+    mode: str = "multimodal",
+    num_steps: int = 200,
+    base_lr: float = 1e-2,
+    seed: int = 0,
+) -> Dict:
+    """Train a linear head on frozen features, test with per-video score
+    ensembling. Batches: {visual, audio, label, video_index}.
+    Returns {top1, top5, history}."""
+    feature_fn = make_feature_fn(backbone_variables, mode)
+    head = ClassifyHead(num_classes=num_classes, train=True)
+    schedule = lr_schedule("cosine", base_lr, num_steps)
+    optimizer = build_optimizer("sgd", schedule)
+
+    params = None
+    opt_state = None
+
+    @jax.jit
+    def head_step(params, opt_state, feats, labels, key):
+        def loss_fn(p):
+            logits = head.apply(
+                {"params": p}, feats, rngs={"dropout": key}
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = (jnp.argmax(logits, -1) == labels).mean() * 100.0
+        return params, opt_state, loss, acc
+
+    key = jax.random.PRNGKey(seed)
+    history = []
+    steps = 0
+    for batch in train_batches:
+        feats = feature_fn(jnp.asarray(batch["visual"]), jnp.asarray(batch["audio"]))
+        if params is None:
+            params = head.init({"params": key, "dropout": key}, feats)["params"]
+            opt_state = optimizer.init(params)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, acc = head_step(
+            params, opt_state, feats, jnp.asarray(batch["label"]), sub
+        )
+        history.append({"loss": float(loss), "acc": float(acc)})
+        steps += 1
+        if steps >= num_steps:
+            break
+
+    # test: sum ensemble-view scores per video (utils/meters.py:522-689)
+    eval_head = ClassifyHead(num_classes=num_classes, train=False)
+    score_sums: Dict[int, np.ndarray] = {}
+    labels_by_video: Dict[int, int] = {}
+    for batch in test_batches:
+        feats = feature_fn(jnp.asarray(batch["visual"]), jnp.asarray(batch["audio"]))
+        logits = np.asarray(eval_head.apply({"params": params}, feats))
+        for j, vid in enumerate(batch["video_index"]):
+            vid = int(vid)
+            score_sums[vid] = score_sums.get(vid, 0.0) + logits[j]
+            labels_by_video[vid] = int(batch["label"][j])
+    if not score_sums:
+        return {"top1": 0.0, "top5": 0.0, "history": history, "params": params}
+    correct1 = correct5 = 0
+    for vid, scores in score_sums.items():
+        order = np.argsort(scores)[::-1]
+        label = labels_by_video[vid]
+        correct1 += int(order[0] == label)
+        correct5 += int(label in order[:5])
+    n = len(score_sums)
+    return {
+        "top1": 100.0 * correct1 / n,
+        "top5": 100.0 * correct5 / n,
+        "history": history,
+        "params": params,
+    }

@@ -1,0 +1,195 @@
+"""Evaluation suite: contrastive pretrain + linear eval on tiny synthetic
+data, including the sharded (8-device) training step."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acav100m_tpu.evaluation import data as ed
+from acav100m_tpu.evaluation import models as em
+from acav100m_tpu.evaluation import train as et
+from acav100m_tpu.runtime import get_mesh
+
+
+NUM_FRAMES, CROP = 4, 32
+
+
+def tiny_batch(rng, b=4):
+    visual = rng.randint(0, 255, (b, NUM_FRAMES, CROP, CROP, 3)).astype(np.uint8)
+    audio = rng.randn(b, 80, 128, 1).astype(np.float32)
+    return {"visual": visual, "audio": audio}
+
+
+class TestModels:
+    def test_backbone_output_sizes(self):
+        model = em.Contrast(train=False)
+        v = jnp.zeros((1, NUM_FRAMES, CROP, CROP, 3))
+        a = jnp.zeros((1, 80, 128, 1))
+        variables = model.init(jax.random.PRNGKey(0), v, a)
+        zv, za = model.apply(variables, v, a)
+        assert zv.shape == (1, 128) and za.shape == (1, 128)
+        # backbone dims (reference: visual 2048, audio width32 -> 1024)
+        vis = em.VisualResNet3D(train=False)
+        vv = vis.init(jax.random.PRNGKey(0), v)
+        assert vis.apply(vv, v).shape == (1, 2048)
+        aud = em.AudioResNet2D(train=False)
+        av = aud.init(jax.random.PRNGKey(0), a)
+        assert aud.apply(av, a).shape == (1, 1024)
+
+    def test_contrast_loss_prefers_aligned(self):
+        rng = np.random.RandomState(0)
+        z = rng.randn(6, 16).astype(np.float32)
+        z /= np.linalg.norm(z, axis=-1, keepdims=True)
+        loss_aligned, acc_aligned = em.contrast_loss(jnp.asarray(z), jnp.asarray(z))
+        perm = rng.permutation(6)
+        loss_perm, _ = em.contrast_loss(jnp.asarray(z), jnp.asarray(z[perm]))
+        assert float(loss_aligned) < float(loss_perm)
+        assert float(acc_aligned) == 100.0
+
+    def test_strip_heads(self):
+        model = em.Contrast(train=False)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, NUM_FRAMES, CROP, CROP, 3)),
+            jnp.zeros((1, 80, 128, 1)),
+        )
+        stripped = em.strip_heads(dict(variables))
+        assert set(stripped["params"]) == {"visual_conv", "audio_conv"}
+
+
+class TestData:
+    def test_logmel_shape(self):
+        rng = np.random.RandomState(0)
+        lm = ed.audio_logmel_80x128(rng.randn(32000).astype(np.float32))
+        assert lm.shape == (80, 128)
+
+    def test_spec_augment_masks(self):
+        rng = np.random.RandomState(0)
+        lm = np.ones((80, 128), np.float32)
+        masked = ed.spec_augment(lm, rng)
+        assert (masked == 0).any()
+        assert lm.sum() == 80 * 128  # input untouched
+
+    def test_pretrain_example(self):
+        rng = np.random.RandomState(0)
+        decoded = {
+            "frames": rng.randint(0, 255, (40, 48, 48, 3)).astype(np.uint8),
+            "audio": rng.randn(160000).astype(np.float32),
+            "sample_rate": 16000,
+            "video_fps": 4.0,
+        }
+        ex = ed.make_pretrain_example(decoded, rng, num_frames=NUM_FRAMES, crop=CROP)
+        assert ex["visual"].shape == (NUM_FRAMES, CROP, CROP, 3)
+        assert ex["audio_logmel"].shape == (80, 128)
+
+    def test_classification_dataset(self, tmp_path):
+        rng = np.random.RandomState(0)
+        items = []
+        for i in range(4):
+            fname = f"clip{i}.npz"
+            np.savez(
+                tmp_path / fname,
+                frames=rng.randint(0, 255, (12, 40, 40, 3)).astype(np.uint8),
+                audio=rng.randn(64000).astype(np.float32),
+                sample_rate=16000,
+                video_fps=4.0,
+            )
+            items.append(
+                {"file": fname, "label": i % 2, "split": "train" if i < 2 else "test"}
+            )
+        (tmp_path / "labels.json").write_text(
+            json.dumps({"classes": ["a", "b"], "items": items})
+        )
+        train_ds = ed.ClipClassificationDataset(tmp_path, "train")
+        test_ds = ed.ClipClassificationDataset(tmp_path, "test", num_ensemble_views=2)
+        train_ex = list(train_ds.examples(rng, NUM_FRAMES, CROP))
+        test_ex = list(test_ds.examples(rng, NUM_FRAMES, CROP))
+        assert len(train_ex) == 2
+        assert len(test_ex) == 2 * 2  # ensemble views
+        assert {e["video_index"] for e in test_ex} == {0, 1}
+
+
+class TestTraining:
+    def test_lr_schedule_warmup_then_decay(self):
+        sched = et.lr_schedule("linear", 1.0, 100, warmup_steps=10,
+                               warmup_start_lr=0.0, end_lr=0.0)
+        assert float(sched(0)) == pytest.approx(0.0)
+        assert float(sched(10)) == pytest.approx(1.0, rel=1e-2)
+        assert float(sched(100)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_pretrain_step_runs_and_loss_drops(self, tmp_path):
+        rng = np.random.RandomState(0)
+        # one fixed batch repeated: loss must decrease (model memorizes)
+        batch = tiny_batch(rng, b=4)
+        batches = (batch for _ in range(12))
+        state, history = et.pretrain(
+            batches, num_steps=12, out_dir=tmp_path, save_period=5,
+            base_lr=1e-3, warmup_steps=0, num_frames=NUM_FRAMES, crop=CROP,
+            log_every=1,
+        )
+        assert int(state.step) == 12
+        assert (tmp_path / "step_latest.ckpt").is_file()
+        assert (tmp_path / "epoch_latest.ckpt").is_file()
+        losses = [h["loss"] for h in history]
+        assert losses[-1] < losses[0]
+
+    def test_sharded_pretrain_step(self):
+        mesh = get_mesh()
+        rng = np.random.RandomState(1)
+        model, state, optimizer = et.init_pretrain(
+            jax.random.PRNGKey(0), NUM_FRAMES, CROP
+        )
+        step = et.make_pretrain_step(model, optimizer, mesh=mesh)
+        batch = tiny_batch(rng, b=8)
+        state, metrics = step(
+            state, jnp.asarray(batch["visual"]), jnp.asarray(batch["audio"])
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
+
+    def test_checkpoint_resume_and_surgery(self, tmp_path):
+        rng = np.random.RandomState(2)
+        batches = (tiny_batch(rng, 2) for _ in range(3))
+        state, _ = et.pretrain(
+            batches, num_steps=3, out_dir=tmp_path, save_period=1,
+            num_frames=NUM_FRAMES, crop=CROP, warmup_steps=0,
+        )
+        restored, epoch = et.load_checkpoint(tmp_path / "step_latest.ckpt")
+        assert int(restored.step) == 3
+        backbone = et.load_pretrained_backbone(tmp_path / "epoch_latest.ckpt")
+        assert set(backbone["params"]) == {"visual_conv", "audio_conv"}
+
+    def test_linear_eval_learns_separable_classes(self, tmp_path):
+        rng = np.random.RandomState(3)
+        model, state, _ = et.init_pretrain(jax.random.PRNGKey(0), NUM_FRAMES, CROP)
+        backbone = em.strip_heads(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        # two classes distinguishable by audio energy
+        def make_batches(split, n):
+            for i in range(n):
+                labels = np.arange(4) % 2
+                visual = rng.randint(0, 255, (4, NUM_FRAMES, CROP, CROP, 3)).astype(np.uint8)
+                audio = rng.randn(4, 80, 128, 1).astype(np.float32) * 0.1
+                audio[labels == 1] += 3.0
+                yield {
+                    "visual": visual,
+                    "audio": audio,
+                    "label": labels,
+                    "video_index": np.arange(4) + 4 * i,
+                }
+
+        res = et.linear_eval(
+            backbone,
+            make_batches("train", 20),
+            make_batches("test", 3),
+            num_classes=2,
+            mode="audio",
+            num_steps=20,
+            base_lr=0.05,
+        )
+        assert res["top1"] > 60.0
