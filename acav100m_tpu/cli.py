@@ -1,0 +1,172 @@
+"""Unified CLI for every pipeline stage.
+
+The reference shipped a separate fire-based ``cli.py`` per stage
+(``feature_extraction/code/cli.py:37`` etc.); here one argparse entry point
+covers the whole pipeline with the same dotted-key override style:
+
+    python -m acav100m_tpu filter in.tsv out.tsv [--keywords_dir=...]
+    python -m acav100m_tpu download filtered.tsv out_dir [--source_dir=...]
+    python -m acav100m_tpu segment video_dir out_dir [key=val ...]
+    python -m acav100m_tpu extract data.media.path=... data.output.path=...
+    python -m acav100m_tpu cluster data.path=... data.output.path=...
+    python -m acav100m_tpu select data.path=... data.output.path=...
+    python -m acav100m_tpu reduce out.csv cache1.csv cache2.csv ...
+    python -m acav100m_tpu retrieval [key=val ...]
+    python -m acav100m_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from .config import parse_overrides
+
+
+def _overrides(tokens):
+    return parse_overrides([t for t in tokens if "=" in t])
+
+
+def cmd_filter(args):
+    from .pipeline.metadata_filtering import run_file
+
+    kept, total = run_file(
+        args.in_path, args.out_path,
+        keywords_dir=args.keywords_dir, fasttext_model=args.fasttext_model,
+    )
+    pct = 100.0 * kept / max(total, 1)
+    print(f"Done. {kept}/{total}({pct:.2f}%) lines left")
+
+
+def cmd_download(args):
+    from .pipeline.video_download import run_download
+
+    ok, total = run_download(args.tsv_path, args.out_dir, source_dir=args.source_dir)
+    print(f"downloaded {ok}/{total}")
+
+
+def cmd_segment(args):
+    import random
+
+    from .pipeline.clip_segmentation import (
+        DEFAULT_SEED,
+        FfmpegVideoBackend,
+        segment_video,
+    )
+
+    rng = random.Random(args.seed)
+    video_dir = Path(args.video_dir)
+    count = 0
+    for path in sorted(video_dir.glob("*.mp4")):
+        backend = FfmpegVideoBackend(path)
+        clips, paths = segment_video(
+            backend, args.out_dir, path.stem,
+            num_clips=args.num_clips, sampling=args.sampling, rng=rng,
+        )
+        count += len(paths)
+    print(f"extracted {count} clips to {args.out_dir}")
+
+
+def cmd_extract(args):
+    from .pipeline.feature_extraction import get_config, run_extraction
+
+    cfg = get_config(_overrides(args.overrides))
+    saved = run_extraction(cfg)
+    print(f"saved {len(saved)} feature shards")
+
+
+def cmd_cluster(args):
+    from .pipeline.clustering import get_config, run_clustering
+
+    cfg = get_config(_overrides(args.overrides))
+    saved = run_clustering(cfg)
+    print(f"saved {len(saved)} assignment shards")
+
+
+def cmd_select(args):
+    from .pipeline.subset_selection import get_config, run
+
+    cfg = get_config(_overrides(args.overrides))
+    out_path, count = run(cfg)
+    print(f"Saved Results: added {count} lines to {out_path}")
+
+
+def cmd_reduce(args):
+    from .utils.io import merge_csvs
+
+    count = merge_csvs(args.caches, args.out_path)
+    print(f"merged {count} lines into {args.out_path}")
+
+
+def cmd_retrieval(args):
+    from .retrieval.runner import run_experiment
+
+    kwargs = {}
+    for key, val in _overrides(args.overrides).items():
+        kwargs[key] = val
+    res = run_experiment(out_path=args.out_path, **kwargs)
+    print(
+        f"precision={res['precision']:.4f} recall={res['recall']:.4f} "
+        f"f1={res['f1']:.4f}"
+    )
+
+
+def cmd_bench(args):
+    import runpy
+
+    runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="acav100m_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("filter", help="stage 1: metadata filtering")
+    p.add_argument("in_path")
+    p.add_argument("out_path")
+    p.add_argument("--keywords_dir", default=None)
+    p.add_argument("--fasttext_model", default=None)
+    p.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser("download", help="stage 2: video download")
+    p.add_argument("tsv_path")
+    p.add_argument("out_dir")
+    p.add_argument("--source_dir", default=None)
+    p.set_defaults(fn=cmd_download)
+
+    p = sub.add_parser("segment", help="stage 3: clip segmentation (ffmpeg)")
+    p.add_argument("video_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--num_clips", type=int, default=3)
+    p.add_argument("--sampling", default="diversity_greedy")
+    p.add_argument("--seed", type=int, default=98052)
+    p.set_defaults(fn=cmd_segment)
+
+    for verb, fn, help_ in (
+        ("extract", cmd_extract, "stage 4: feature extraction"),
+        ("cluster", cmd_cluster, "stage 5: k-means clustering"),
+        ("select", cmd_select, "stage 6: MI subset selection"),
+        ("retrieval", cmd_retrieval, "correspondence-retrieval experiment"),
+    ):
+        p = sub.add_parser(verb, help=help_)
+        p.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+        if verb == "retrieval":
+            p.add_argument("--out_path", default=None)
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("reduce", help="merge chunk cache csvs")
+    p.add_argument("out_path")
+    p.add_argument("caches", nargs="+")
+    p.set_defaults(fn=cmd_reduce)
+
+    p = sub.add_parser("bench", help="run the throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
