@@ -200,12 +200,22 @@ _SCORE_FNS = {
 }
 
 
+def _pair_mean(scores: jnp.ndarray, pair_weights=None) -> jnp.ndarray:
+    """(W, P) -> (W,): plain or weighted mean over pairs (the reference's
+    per-layer-pair weighting, correspondence_retrieval pair_weights.py)."""
+    if pair_weights is None:
+        return scores.mean(axis=-1)
+    w = jnp.asarray(pair_weights, dtype=scores.dtype)
+    return (scores * w).sum(axis=-1) / jnp.maximum(w.sum(), EPS)
+
+
 def score_candidates_full(
     cache: Dict,
     pairs: jnp.ndarray,
     ncentroids: int,
     kind: str = "mi",
     average_method: str = "arithmetic",
+    pair_weights=None,
 ) -> jnp.ndarray:
     """Score each candidate as if added alone to the cache -> (W,).
 
@@ -216,7 +226,7 @@ def score_candidates_full(
     tables = candidate_tables(pairs, ncentroids, cache["N"].dtype)
     last = {key: cache[key][None] + tables[key] for key in cache}
     scores = _SCORE_FNS[kind](last, average_method)  # (W, P)
-    return scores.mean(axis=-1)
+    return _pair_mean(scores, pair_weights)
 
 
 # -- incremental O(W*P) MI scoring (EfficientMemMI math) ----------------------
@@ -240,6 +250,7 @@ def score_candidates_mem(
     stats: Dict,
     pairs: jnp.ndarray,
     ncentroids: int,
+    pair_weights=None,
 ) -> jnp.ndarray:
     """Incremental MI score for W candidates -> (W,).
 
@@ -259,7 +270,7 @@ def score_candidates_mem(
     new_blogb = stats["blogb"][None] - nlogn(b_at) + nlogn(b_at + 1)
     n_new = (cache["n"] + 1)[None]  # (1,P)
     scores = new_nlogn / n_new - new_aloga / n_new - new_blogb / n_new + jnp.log(n_new)
-    return scores.mean(axis=-1)
+    return _pair_mean(scores, pair_weights)
 
 
 # NB on margin conventions (reference mi.py:85-91 with a=N.sum(dim=1),
@@ -295,6 +306,7 @@ class BatchGreedySelector:
         average_method: str = "arithmetic",
         seed: Optional[int] = None,
         rng: Optional[np.random.RandomState] = None,
+        pair_weights=None,
     ):
         self.assignments = np.asarray(assignments)
         self.combinations = list(combinations)
@@ -304,6 +316,9 @@ class BatchGreedySelector:
         self.keep_unselected = keep_unselected
         self.scorer = scorer
         self.average_method = average_method
+        self.pair_weights = (
+            np.asarray(pair_weights, np.float32) if pair_weights is not None else None
+        )
         self.rng = rng if rng is not None else np.random.RandomState(seed)
 
         self.pairs_all = jnp.asarray(
@@ -320,15 +335,18 @@ class BatchGreedySelector:
         avg = self.average_method
         ncentroids = self.C
         k = self.k
+        weights = self.pair_weights
 
         @jax.jit
         def step(cache, stats, pairs_all, batch_ids):
             pairs = jnp.take(pairs_all, batch_ids, axis=0)  # (B,P,2)
             if scorer == "mem":
-                scores = score_candidates_mem(cache, stats, pairs, ncentroids)
+                scores = score_candidates_mem(cache, stats, pairs, ncentroids,
+                                              pair_weights=weights)
             else:
                 scores = score_candidates_full(cache, pairs, ncentroids,
-                                               kind=scorer, average_method=avg)
+                                               kind=scorer, average_method=avg,
+                                               pair_weights=weights)
             top_scores, top_idx = jax.lax.top_k(scores, k)
             winner_pairs = jnp.take(pairs, top_idx, axis=0)  # (k,P,2)
             new_cache = add_candidates_to_cache(cache, winner_pairs, ncentroids)
@@ -428,12 +446,16 @@ class GreedySelector:
         kind: str = "mi",
         average_method: str = "arithmetic",
         scorer: Optional[str] = None,
+        pair_weights=None,
     ):
         self.assignments = np.asarray(assignments)
         self.combinations = list(combinations)
         self.C = int(ncentroids)
         self.kind = kind
         self.average_method = average_method
+        self.pair_weights = (
+            np.asarray(pair_weights, np.float32) if pair_weights is not None else None
+        )
         # 'mem' scorer valid only for plain MI
         self.scorer = scorer or ("mem" if kind == "mi" else "full")
         self.pairs_all = jnp.asarray(
@@ -450,14 +472,17 @@ class GreedySelector:
         kind = self.kind
         avg = self.average_method
         ncentroids = self.C
+        weights = self.pair_weights
 
         @jax.jit
         def step(cache, stats, pairs_all, active_mask):
             if scorer == "mem":
-                scores = score_candidates_mem(cache, stats, pairs_all, ncentroids)
+                scores = score_candidates_mem(cache, stats, pairs_all, ncentroids,
+                                              pair_weights=weights)
             else:
                 scores = score_candidates_full(
-                    cache, pairs_all, ncentroids, kind=kind, average_method=avg
+                    cache, pairs_all, ncentroids, kind=kind, average_method=avg,
+                    pair_weights=weights,
                 )
             scores = jnp.where(active_mask, scores, -jnp.inf)
             idx = jnp.argmax(scores)
@@ -470,10 +495,12 @@ class GreedySelector:
     def scores(self) -> np.ndarray:
         """Score every candidate against the current cache (diagnostics)."""
         if self.scorer == "mem":
-            s = score_candidates_mem(self.cache, self.stats, self.pairs_all, self.C)
+            s = score_candidates_mem(self.cache, self.stats, self.pairs_all,
+                                     self.C, pair_weights=self.pair_weights)
         else:
             s = score_candidates_full(
-                self.cache, self.pairs_all, self.C, self.kind, self.average_method
+                self.cache, self.pairs_all, self.C, self.kind,
+                self.average_method, pair_weights=self.pair_weights,
             )
         return np.asarray(s)
 

@@ -234,3 +234,38 @@ def run(cfg) -> Tuple[Optional[Path], int]:
     if cfg.chunk_size:
         return run_chunks(cfg)
     return run_single(cfg)
+
+
+def compare_measures(cfg, measures: Sequence[str] = ("mi", "mem_mi")) -> Dict:
+    """Cross-validate two measure implementations on the same partitions
+    (port of ``subset_selection/code/tests.py:10-46``, minus the
+    ipdb breakpoint): run each measure, report per-element selection
+    equality and gain deltas."""
+    shard_paths = expand_shard_paths(cfg.data.path)
+    partitions = load_partitions_data(shard_paths)
+    report: Dict = {"partitions": {}}
+    for pid in sorted(partitions):
+        rows = partitions[pid]
+        assignments, shard_names, filenames, types = format_rows(rows)
+        ncentroids = int(assignments.max()) + 1
+        v = assignments.shape[0]
+        subset_size = cfg.subset.size or round((cfg.subset.ratio or 0.2) * v)
+        combos = get_cluster_pairing(types, cfg.clustering.pairing or "combination")
+        results = {}
+        for name in measures:
+            kind = "mi" if name == "mem_mi" else name
+            scorer = "mem" if name == "mem_mi" else "full"
+            sel = GreedySelector(assignments, combos, ncentroids=ncentroids,
+                                 kind=kind, scorer=scorer)
+            s, gains, _, _ = sel.run_greedy(subset_size + 1, [0])
+            results[name] = (s[:subset_size], gains[:subset_size])
+        (s_a, g_a), (s_b, g_b) = results[measures[0]], results[measures[1]]
+        n = min(len(s_a), len(s_b))
+        same = [s_a[i] == s_b[i] for i in range(n)]
+        gain_diff = [abs(g_a[i] - g_b[i]) for i in range(min(len(g_a), len(g_b)))]
+        report["partitions"][pid] = {
+            "selection_equal_ratio": float(np.mean(same)) if same else 1.0,
+            "max_gain_diff": float(max(gain_diff)) if gain_diff else 0.0,
+            "subset_size": subset_size,
+        }
+    return report
