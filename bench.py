@@ -22,19 +22,33 @@ import time
 import numpy as np
 
 REFERENCE_CLIPS_PER_SEC_GPU = 16.0
-TARGET_MULTIPLier = 5.0
-BASELINE_VALUE = REFERENCE_CLIPS_PER_SEC_GPU * TARGET_MULTIPLier
+TARGET_MULTIPLIER = 5.0
+BASELINE_VALUE = REFERENCE_CLIPS_PER_SEC_GPU * TARGET_MULTIPLIER
 
 
-def timeit(fn, *args, warmup=2, iters=5):
+def _sync(out):
+    """Force completion with a tiny host fetch.
+
+    NB: on the tunneled 'axon' TPU platform ``jax.block_until_ready``
+    returns before execution finishes; fetching a leaf is the only reliable
+    barrier. The fetch is a few KB, so the ~30 ms tunnel round trip is
+    amortized over the timed iterations.
+    """
     import jax
+    import numpy as np
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
+def timeit(fn, *args, warmup=2, iters=8):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
