@@ -158,19 +158,49 @@ def train_step(
     reinit: Tuple[float, float] = (0.7, 5.0),
     axis_name: Optional[str] = None,
     global_batch: Optional[int] = None,
+    use_pallas: bool = False,
 ) -> Tuple[KMeansState, jnp.ndarray]:
     """One mini-batch update. batch: (M, B_local, Dmax).
 
     Inside ``shard_map`` pass ``axis_name`` — counts/deltas are psum'd,
     reproducing the reference's all-reduce (``sgd_clustering.py:113-127``).
+    ``use_pallas=True`` routes the post-warmup assign+scatter through the
+    fused Pallas kernel (one HBM read of the batch instead of two).
     Returns (new_state, mean min-distance per clustering (M,)).
     """
     m, k, _ = state.centers.shape
     b_local = batch.shape[1]
-    best, mean_dist = calc_best(state, batch, key, initial_rounds, reinit)
 
-    counts = _segment_counts(best, k)
-    deltas_raw = _segment_deltas(best, batch, k)
+    if use_pallas:
+        assert reinit[1] == 5.0, "pallas kernel hardcodes the /5 discount"
+        from .pallas.kmeans_kernel import fused_assign_update
+
+        threshold = jnp.maximum(
+            state.count.astype(jnp.float32) / k, 0.0
+        ) ** reinit[0]
+
+        def fused_branch(_):
+            best, counts, deltas, mean_dist = fused_assign_update(
+                state.centers, state.counts, batch, threshold
+            )
+            return counts, deltas, mean_dist
+
+        def warmup_branch(_):
+            best, mean_dist = calc_best(state, batch, key, initial_rounds, reinit)
+            return (
+                _segment_counts(best, k),
+                _segment_deltas(best, batch, k),
+                mean_dist,
+            )
+
+        warmup = state.count < initial_rounds * k
+        counts, deltas_raw, mean_dist = jax.lax.cond(
+            warmup, warmup_branch, fused_branch, None
+        )
+    else:
+        best, mean_dist = calc_best(state, batch, key, initial_rounds, reinit)
+        counts = _segment_counts(best, k)
+        deltas_raw = _segment_deltas(best, batch, k)
     if axis_name is not None:
         counts = jax.lax.psum(counts, axis_name)
         deltas_raw = jax.lax.psum(deltas_raw, axis_name)

@@ -1,0 +1,148 @@
+"""Pallas TPU kernel: fused k-means assign + scatter-accumulate.
+
+The XLA path in ``ops.kmeans`` runs three ops per step — distance einsum,
+argmin, one-hot delta einsum — which reads the (M, B, D) batch from HBM
+twice. This kernel fuses the whole per-batch reduction:
+
+    for each (clustering m, batch tile b):
+        dist   = -2 * x @ C^T + |x|^2 + |c|^2        (MXU)
+        dist  /= r  where counts < threshold          (reinit discount)
+        best   = argmin_k dist                        (VPU)
+        onehot = best == iota(K)
+        counts_m += sum(onehot);  deltas_m += onehot^T @ x   (MXU)
+        min_sum_m += sum(min_k dist)
+
+reading the batch tile from HBM exactly once and keeping the (TB, K)
+distance tile plus the (K, D) delta accumulator in VMEM. Grid is
+(M, B/TB) with the batch dimension innermost so the delta/count output
+blocks are revisited and accumulated in place (the standard Pallas
+reduction pattern).
+
+Used by ``kmeans.train_step(..., backend='pallas')`` on TPU; numerics are
+validated against the XLA path in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(centers_ref, counts_ref, thresh_ref, batch_ref,
+            best_ref, counts_add_ref, deltas_ref, minsum_ref):
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        counts_add_ref[:, :] = jnp.zeros_like(counts_add_ref)
+        deltas_ref[:, :, :] = jnp.zeros_like(deltas_ref)
+        minsum_ref[:, :] = jnp.zeros_like(minsum_ref)
+
+    x = batch_ref[0]  # (TB, D)
+    c = centers_ref[0]  # (K, D)
+    counts = counts_ref[0]  # (K,)
+    threshold = thresh_ref[0, 0]
+
+    cx = jnp.dot(x, c.T, preferred_element_type=jnp.float32)  # (TB, K)
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (TB, 1)
+    c2 = jnp.sum(c * c, axis=-1)[None, :]  # (1, K)
+    dist = -2.0 * cx + x2 + c2
+    # underused-center reinit discount (sgd_clustering.py:75-77)
+    underused = (counts < threshold)[None, :]
+    dist = jnp.where(underused, dist / 5.0, dist)
+
+    best = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # (TB,)
+    min_d = jnp.min(dist, axis=-1)  # (TB,)
+
+    k = c.shape[0]
+    onehot = (
+        best[:, None] == jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k), 1)
+    ).astype(jnp.float32)  # (TB, K)
+
+    best_ref[0] = best
+    counts_add_ref[0] += jnp.sum(onehot, axis=0)
+    deltas_ref[0] += jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
+    minsum_ref[0, 0] += jnp.sum(min_d)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def fused_assign_update(
+    centers: jnp.ndarray,  # (M, K, D)
+    counts: jnp.ndarray,  # (M, K)
+    batch: jnp.ndarray,  # (M, B, D)
+    threshold: jnp.ndarray,  # () — (count/k)**p
+    tile_b: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (best (M,B) i32, counts_add (M,K), deltas (M,K,D),
+    min_dist_mean (M,))."""
+    m, k, d = centers.shape
+    b = batch.shape[1]
+    tile_b = min(tile_b, b)
+    num_tiles = pl.cdiv(b, tile_b)
+    if b % tile_b != 0:
+        pad = num_tiles * tile_b - b
+        batch = jnp.pad(batch, ((0, 0), (0, pad), (0, 0)))
+        # padded rows are all-zero; they still get assigned somewhere, so
+        # mask their contribution out afterwards (cheap, outside the kernel)
+    padded_b = batch.shape[1]
+
+    grid = (m, padded_b // tile_b)
+    best, counts_add, deltas, minsum = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, k, d), lambda mi, bi: (mi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda mi, bi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda mi, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_b, d), lambda mi, bi: (mi, bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_b), lambda mi, bi: (mi, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda mi, bi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, d), lambda mi, bi: (mi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda mi, bi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, padded_b), jnp.int32),
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((m, k, d), jnp.float32),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(centers, counts, threshold.reshape(1, 1).astype(jnp.float32), batch)
+
+    if padded_b != b:
+        # remove the zero-pad rows' contributions
+        pad_best = best[:, b:]  # (M, pad)
+        pad_onehot = jax.nn.one_hot(pad_best, k, dtype=jnp.float32)
+        counts_add = counts_add - pad_onehot.sum(axis=1)
+        # zero rows contribute zero deltas; minsum correction:
+        pad_centers_n2 = jnp.take_along_axis(
+            jnp.sum(centers * centers, axis=-1), pad_best, axis=1
+        )
+        # distance of a zero row to center c is |c|^2 (possibly discounted)
+        # — subtract an upper bound is wrong; recompute exactly:
+        thresh = threshold.astype(jnp.float32)
+        under = jnp.take_along_axis(
+            (counts < thresh).astype(jnp.float32), pad_best, axis=1
+        )
+        pad_dist = pad_centers_n2 * jnp.where(under > 0, 1.0 / 5.0, 1.0)
+        minsum = minsum[:, 0] - pad_dist.sum(axis=1)
+        best = best[:, :b]
+    else:
+        minsum = minsum[:, 0]
+    return best, counts_add, deltas, minsum / b
