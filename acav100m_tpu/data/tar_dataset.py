@@ -47,6 +47,23 @@ class TarShardDataset:
         self.prepare = prepare
         self.on_error = on_error
 
+    def _iter_members(self, shard_path):
+        """(filename, bytes) pairs; native header-walk indexer when the
+        compiled ``libtario`` is available, else Python tarfile."""
+        from . import native_tar
+
+        index = native_tar.index_tar(shard_path) if native_tar.available() else None
+        if index is not None:
+            for name, offset, size in index:
+                data = native_tar.read_member(shard_path, offset, size)
+                if data is not None:
+                    yield name, data
+            return
+        with tarfile.open(shard_path) as tf:
+            for member in tf.getmembers():
+                if member.isfile():
+                    yield member.name, tf.extractfile(member).read()
+
     def __iter__(self) -> Iterator[Dict]:
         for shard_path in self.shard_paths:
             shard_name = shard_path.stem
@@ -54,20 +71,13 @@ class TarShardDataset:
             shard_size = len(meta)
             skip = set(self.skip_lists.get(shard_name, []))
             try:
-                tf = tarfile.open(shard_path)
-            except Exception as e:  # skip-and-continue per shard
-                warnings.warn(f"failed to open shard {shard_path}: {e}")
-                continue
-            with tf:
-                for member in tf.getmembers():
-                    if not member.isfile():
-                        continue
-                    fname = Path(member.name).name
-                    stem = Path(member.name).stem
+                members = self._iter_members(shard_path)
+                for member_name, data in members:
+                    fname = Path(member_name).name
+                    stem = Path(member_name).stem
                     if stem not in meta or fname in skip:
                         continue
                     try:
-                        data = tf.extractfile(member).read()
                         clip = self.prepare(self.decoder(data))
                     except Exception as e:
                         if self.on_error == "raise":
@@ -82,6 +92,11 @@ class TarShardDataset:
                         "shard_size": shard_size,
                         **clip,
                     }
+            except Exception as e:  # skip-and-continue per shard
+                if self.on_error == "raise":
+                    raise
+                warnings.warn(f"failed to read shard {shard_path}: {e}")
+                continue
 
 
 def collate(samples: List[Dict], batch_size: int) -> Dict:
