@@ -303,6 +303,43 @@ class MetadataFilter:
         return True
 
 
+def test_each(in_path, keywords_dir=None, fasttext_model=None) -> Dict[str, int]:
+    """Per-rule drop counts (reference filter.py:239-302 test_each):
+    how many rows each individual rule would reject."""
+    preprocessor = Preprocessor()
+    filt = MetadataFilter(keywords_dir=keywords_dir, fasttext_model=fasttext_model)
+    drops: Dict[str, int] = {
+        k: 0
+        for k in (
+            "duration", "language", "category_gaming", "keywords_artist",
+            "keywords_gaming", "keywords_animation", "keywords_officialvideo",
+            "keywords_tutorial",
+        )
+    }
+    with open(in_path) as in_f:
+        for line in in_f:
+            fields = preprocessor(line.strip())
+            if fields is None:
+                continue
+            vid, text, category, duration = fields
+            drops["duration"] += int(not filt.filter_duration(duration))
+            drops["language"] += int(not filt.language_detector.filter_major(text))
+            toks = tokenize(text)
+            cat = (category or "").lower()
+            drops["category_gaming"] += int(cat == "gaming")
+            drops["keywords_artist"] += int(
+                cat == "music" and not filt.filter_keywords(toks, "artist")
+            )
+            for name in ("gaming", "animation", "officialvideo"):
+                drops[f"keywords_{name}"] += int(
+                    not filt.filter_keywords(toks, name)
+                )
+            drops["keywords_tutorial"] += int(
+                not filt.filter_keywords(toks, "tutorial", stem=True)
+            )
+    return drops
+
+
 def run_file(in_path, out_path, keywords_dir=None, fasttext_model=None) -> Tuple[int, int]:
     """Stream tsv -> filtered tsv (filter.py:263-280). Returns (kept, total)."""
     preprocessor = Preprocessor()
