@@ -30,7 +30,15 @@ def load_shard_meta(tar_path, intersect: bool = True) -> Dict[str, Dict]:
     rows = load_json(json_path)
     meta = {Path(row["filename"]).stem: row for row in rows}
     if intersect and tar_path.is_file():
-        stems = set(tar_member_stems(tar_path))
+        try:
+            stems = set(tar_member_stems(tar_path))
+        except Exception as e:
+            # unreadable shard: drop it entirely (the reference's pervasive
+            # skip-and-continue, SURVEY.md section 5)
+            import warnings
+
+            warnings.warn(f"unreadable shard {tar_path}: {e}")
+            return {}
         meta = {k: v for k, v in meta.items() if k in stems}
     return meta
 
