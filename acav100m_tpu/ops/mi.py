@@ -307,6 +307,7 @@ class BatchGreedySelector:
         seed: Optional[int] = None,
         rng: Optional[np.random.RandomState] = None,
         pair_weights=None,
+        mesh=None,
     ):
         self.assignments = np.asarray(assignments)
         self.combinations = list(combinations)
@@ -320,14 +321,32 @@ class BatchGreedySelector:
             np.asarray(pair_weights, np.float32) if pair_weights is not None else None
         )
         self.rng = rng if rng is not None else np.random.RandomState(seed)
+        self.mesh = mesh
 
-        self.pairs_all = jnp.asarray(
-            pair_assignments(self.assignments, self.combinations)
-        )  # (V, P, 2) device-resident
+        pairs_np = pair_assignments(self.assignments, self.combinations)
+        self.pairs_all = self._put_pairs(pairs_np)  # (V, P, 2) device-resident
         self.cache = init_cache(len(self.combinations), self.C)
         self.stats = mem_stats(self.cache)
         self.candidate_ids = np.arange(self.assignments.shape[0], dtype=np.int64)
         self._step = self._build_step()
+
+    def _put_pairs(self, pairs_np: np.ndarray):
+        """Candidate pair-coordinates, sharded over the mesh's data axis
+        when a mesh is given (SURVEY.md section 7.5: shard the candidate
+        dimension across chips; scoring is embarrassingly parallel and the
+        top-k merge is a cheap gather XLA inserts)."""
+        if self.mesh is None:
+            return jnp.asarray(pairs_np)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        v = pairs_np.shape[0]
+        n = self.mesh.shape["data"]
+        if v % n != 0:  # pad to a shardable length with repeats of row 0
+            pad = n - v % n
+            pairs_np = np.concatenate([pairs_np, np.repeat(pairs_np[:1], pad, 0)])
+        return jax.device_put(
+            jnp.asarray(pairs_np), NamedSharding(self.mesh, P("data", None, None))
+        )
 
     # -- device step -------------------------------------------------------
     def _build_step(self):
@@ -447,6 +466,7 @@ class GreedySelector:
         average_method: str = "arithmetic",
         scorer: Optional[str] = None,
         pair_weights=None,
+        mesh=None,
     ):
         self.assignments = np.asarray(assignments)
         self.combinations = list(combinations)
@@ -456,15 +476,17 @@ class GreedySelector:
         self.pair_weights = (
             np.asarray(pair_weights, np.float32) if pair_weights is not None else None
         )
+        self.mesh = mesh
         # 'mem' scorer valid only for plain MI
         self.scorer = scorer or ("mem" if kind == "mi" else "full")
-        self.pairs_all = jnp.asarray(
-            pair_assignments(self.assignments, self.combinations)
-        )
+        pairs_np = pair_assignments(self.assignments, self.combinations)
+        self._true_v = pairs_np.shape[0]
+        self.pairs_all = BatchGreedySelector._put_pairs(self, pairs_np)
         self.cache = init_cache(len(self.combinations), self.C)
         self.stats = mem_stats(self.cache)
-        v = self.assignments.shape[0]
+        v = int(self.pairs_all.shape[0])  # includes mesh padding rows
         self.active = np.ones(v, dtype=bool)
+        self.active[self._true_v:] = False
         self._step = self._build_step()
 
     def _build_step(self):
