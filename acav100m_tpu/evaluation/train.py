@@ -143,8 +143,27 @@ def make_pretrain_step(model: Contrast, optimizer, mesh=None):
 # -- checkpointing -----------------------------------------------------------------
 
 def save_checkpoint(out_dir, state: TrainState, epoch: int,
-                    name: str = "epoch_latest") -> Path:
-    """Preemptible latest-checkpoint save (contrast_net.py:252-270)."""
+                    name: str = "epoch_latest", backend: str = "pickle") -> Path:
+    """Preemptible latest-checkpoint save (contrast_net.py:252-270).
+
+    ``backend='orbax'`` writes an async-safe orbax checkpoint directory —
+    the TPU-idiomatic multihost format; ``'pickle'`` (default) keeps single
+    portable files.
+    """
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        path = (Path(out_dir) / f"{name}.orbax").resolve()
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(int(state.step)),
+            "epoch": np.asarray(epoch),
+        }
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, payload, force=True)
+        return path
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -156,15 +175,21 @@ def save_checkpoint(out_dir, state: TrainState, epoch: int,
 
 
 def load_checkpoint(path, optimizer=None) -> Tuple[TrainState, int]:
-    dt = load_pickle(path)
-    opt_state = dt["opt_state"]
+    path = Path(path)
+    if path.suffix == ".orbax" or path.is_dir():
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            dt = ckptr.restore(path.resolve())
+    else:
+        dt = load_pickle(path)
     state = TrainState(
         params=dt["params"],
         batch_stats=dt["batch_stats"],
-        opt_state=opt_state,
+        opt_state=dt["opt_state"],
         step=jnp.asarray(dt["step"], jnp.int32),
     )
-    return state, dt["epoch"]
+    return state, int(dt["epoch"])
 
 
 def load_pretrained_backbone(path) -> Dict:

@@ -193,3 +193,16 @@ class TestTraining:
             base_lr=0.05,
         )
         assert res["top1"] > 60.0
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        model, state, _ = et.init_pretrain(jax.random.PRNGKey(0), 2, 32)
+        p = et.save_checkpoint(tmp_path, state, epoch=3, backend="orbax")
+        restored, epoch = et.load_checkpoint(p)
+        assert epoch == 3 and int(restored.step) == 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            assert np.allclose(a, b)
