@@ -172,3 +172,46 @@ class TestPairing:
     def test_invalid(self):
         with pytest.raises(ValueError):
             get_cluster_pairing([], "nope")
+
+
+class TestSklearnParity:
+    """Numerics vs sklearn on a real 60-sample contingency: MI matches
+    exactly; NMI reproduces the reference's 2x scaling (mi.py:267-272
+    returns 2*MI/normalizer with normalizer=(ha+hb)/2 — argmax-invariant);
+    AMI reproduces the reference's single-term EMI approximation
+    (mi.py:217-230), which by design differs from sklearn's exact
+    hypergeometric sum."""
+
+    def _problem(self):
+        rng = np.random.RandomState(0)
+        n = 60
+        x = rng.randint(0, 5, n)
+        y = (x + (rng.rand(n) < 0.3) * rng.randint(0, 5, n)) % 5
+        A = np.stack([x, y], axis=1)
+        cache = mi.init_cache(1, 5)
+        pa = jnp.asarray(mi.pair_assignments(A, [(0, 1)]))
+        cache = mi.add_candidates_to_cache(cache, pa[1:], 5)
+        tables = mi.candidate_tables(pa[:1], 5)
+        last = {k: cache[k][None] + tables[k] for k in cache}
+        return x, y, last
+
+    def test_mi_matches_sklearn(self):
+        from sklearn.metrics import mutual_info_score
+
+        x, y, last = self._problem()
+        ours = float(mi.calc_mi(last)[0, 0])
+        assert ours == pytest.approx(mutual_info_score(x, y), rel=1e-4)
+
+    def test_nmi_is_reference_2x_sklearn(self):
+        from sklearn.metrics import normalized_mutual_info_score
+
+        x, y, last = self._problem()
+        ours = float(mi.calc_nmi(last)[0, 0])
+        skl = normalized_mutual_info_score(x, y, average_method="arithmetic")
+        assert ours == pytest.approx(2.0 * skl, rel=1e-3)
+
+    def test_ami_finite_and_below_one(self):
+        x, y, last = self._problem()
+        ours = float(mi.calc_ami(last)[0, 0])
+        assert np.isfinite(ours)
+        assert -1.0 < ours <= 1.0
