@@ -1,0 +1,95 @@
+"""Lightweight profiling: scalar meters + iteration timers.
+
+Rebuild of the reference's ad hoc timing (per-iteration wall clock in the
+extraction loop ``run_extraction.py:75-121``, ``timelapse`` arrays in the
+measures, ``ScalarMeter`` windows in ``evaluation/code/utils/meters.py``)
+as one small shared module, plus an optional hook into ``jax.profiler``
+for real TPU traces — something the reference never had.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import deque
+from typing import Deque, Dict, Optional
+
+
+class ScalarMeter:
+    """Windowed scalar statistics (reference meters.py:15-60)."""
+
+    def __init__(self, window_size: int = 10):
+        self.deque: Deque[float] = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+
+    def reset(self):
+        self.deque.clear()
+        self.total = 0.0
+        self.count = 0
+
+    def add_value(self, value: float):
+        self.deque.append(float(value))
+        self.count += 1
+        self.total += float(value)
+
+    def get_win_median(self) -> float:
+        vals = sorted(self.deque)
+        return vals[len(vals) // 2] if vals else 0.0
+
+    def get_win_avg(self) -> float:
+        return sum(self.deque) / len(self.deque) if self.deque else 0.0
+
+    def get_global_avg(self) -> float:
+        return self.total / self.count if self.count else 0.0
+
+
+class IterTimer:
+    """Per-iteration wall-clock with running mean."""
+
+    def __init__(self, window_size: int = 50):
+        self.meter = ScalarMeter(window_size)
+        self._last = time.perf_counter()
+
+    def tick(self) -> float:
+        now = time.perf_counter()
+        dt = now - self._last
+        self._last = now
+        self.meter.add_value(dt)
+        return dt
+
+    @property
+    def mean(self) -> float:
+        return self.meter.get_global_avg()
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str] = None):
+    """``jax.profiler`` trace context when a log dir is given, else no-op."""
+    if log_dir is None:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Meters:
+    """A named bag of scalar meters for train loops."""
+
+    def __init__(self, window_size: int = 10):
+        self.window_size = window_size
+        self.meters: Dict[str, ScalarMeter] = {}
+
+    def add(self, **values: float):
+        for name, value in values.items():
+            if name not in self.meters:
+                self.meters[name] = ScalarMeter(self.window_size)
+            self.meters[name].add_value(value)
+
+    def snapshot(self) -> Dict[str, float]:
+        return {k: m.get_win_avg() for k, m in self.meters.items()}
