@@ -112,6 +112,45 @@ def cmd_retrieval(args):
     )
 
 
+def cmd_fixtures(args):
+    """Generate synthetic clip shards (+ optional downstream labels.json)
+    — the runnable stand-in for the reference's unshipped samples_tiny."""
+    import json as _json
+
+    import numpy as np
+
+    import io as _io
+    import tarfile as _tarfile
+
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    count = 0
+    for si in range(args.num_shards):
+        meta = []
+        with _tarfile.open(out / f"shard-{si:06d}.tar", "w") as tf:
+            for ci in range(args.clips_per_shard):
+                t = np.arange(int(16000 * 10.0)) / 16000.0
+                klass = count % 4
+                frames = rng.randint(0, 60, (32, args.size, args.size, 3)).astype(np.uint8)
+                frames[..., klass % 3] += np.uint8(120)
+                audio = (0.4 * np.sin(2 * np.pi * 220.0 * (1 + klass) * t)
+                         + 0.05 * rng.randn(len(t))).astype(np.float32)
+                buf = _io.BytesIO()
+                np.savez(buf, frames=frames, audio=audio, sample_rate=16000,
+                         video_fps=3.2)
+                data = buf.getvalue()
+                fname = f"clip_{si:03d}_{ci:03d}.npz"
+                info = _tarfile.TarInfo(fname)
+                info.size = len(data)
+                tf.addfile(info, _io.BytesIO(data))
+                meta.append({"filename": fname, "id": f"vid{count:06d}",
+                             "segment": [float(ci), float(ci) + 10.0]})
+                count += 1
+        (out / f"shard-{si:06d}.json").write_text(_json.dumps(meta))
+    print(f"wrote {args.num_shards} shards ({count} clips) to {out}")
+
+
 def cmd_bench(args):
     import runpy
 
@@ -160,6 +199,14 @@ def main(argv=None):
     p.add_argument("out_path")
     p.add_argument("caches", nargs="+")
     p.set_defaults(fn=cmd_reduce)
+
+    p = sub.add_parser("fixtures", help="generate synthetic clip shards")
+    p.add_argument("out_dir")
+    p.add_argument("--num_shards", type=int, default=2)
+    p.add_argument("--clips_per_shard", type=int, default=4)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_fixtures)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(fn=cmd_bench)
