@@ -167,6 +167,15 @@ class Prefetcher:
             yield item
 
 
+def _worker_main(args):
+    """Decode one worker's shard subset -> list of samples (runs in a
+    forked process; the reference's DataLoader-worker model,
+    ``mps/distributed.py worker_urls``)."""
+    shard_paths, metas, skip_lists, decoder, prepare = args
+    ds = TarShardDataset(shard_paths, metas, skip_lists, decoder, prepare)
+    return list(ds)
+
+
 def make_loader(
     shard_paths: Sequence,
     metas: Dict,
@@ -175,9 +184,43 @@ def make_loader(
     decoder: Callable = decode_npz,
     prepare: Callable = prepare_clip,
     prefetch: int = 2,
+    num_workers: int = 0,
 ) -> Iterable[Dict]:
-    ds = TarShardDataset(shard_paths, metas, skip_lists, decoder, prepare)
-    batches = batched(ds, batch_size)
+    """Batched clip loader.
+
+    ``num_workers > 0`` decodes shards in a process pool (shards split
+    round-robin across workers as in the reference's ``worker_urls``);
+    TPU-VM hosts have many cores and decode is the system bottleneck
+    (SURVEY.md section 7 "hard parts"). ``0`` keeps everything in-process
+    with a background prefetch thread.
+    """
+    if num_workers > 0 and len(shard_paths) > 1:
+        import multiprocessing as mp
+
+        from ..utils.shards import worker_selection
+
+        num_workers = min(num_workers, len(shard_paths))
+        jobs = [
+            (
+                worker_selection(list(shard_paths), w, num_workers),
+                metas,
+                skip_lists,
+                decoder,
+                prepare,
+            )
+            for w in range(num_workers)
+        ]
+
+        def pooled():
+            ctx = mp.get_context("fork")
+            with ctx.Pool(num_workers) as pool:
+                for samples in pool.imap_unordered(_worker_main, jobs):
+                    yield from samples
+
+        batches = batched(pooled(), batch_size)
+    else:
+        ds = TarShardDataset(shard_paths, metas, skip_lists, decoder, prepare)
+        batches = batched(ds, batch_size)
     if prefetch:
         return Prefetcher(batches, depth=prefetch)
     return batches

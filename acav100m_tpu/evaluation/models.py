@@ -77,12 +77,19 @@ class Bottleneck3D(nn.Module):
 
 
 class VisualResNet3D(nn.Module):
-    """(B, T, H, W, 3) normalized frames -> (B, 2048)."""
+    """(B, T, H, W, 3) normalized frames -> (B, 2048).
+
+    ``remat=True`` rematerializes each bottleneck block on the backward
+    pass (jax.checkpoint) — trades ~30% more FLOPs for activations that
+    no longer hold every block's intermediates in HBM, the standard TPU
+    memory/compute trade for long 3D-conv stacks.
+    """
 
     width: int = 64
     train: bool = False
     dtype: Any = jnp.float32
     output_size: int = 2048
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -99,9 +106,10 @@ class VisualResNet3D(nn.Module):
         dims_out = [self.width * 4, self.width * 8, self.width * 16, self.width * 32]
         dims_inner = [self.width, self.width * 2, self.width * 4, self.width * 8]
         strides = [1, 2, 2, 2]
+        block_cls = nn.remat(Bottleneck3D) if self.remat else Bottleneck3D
         for si in range(4):
             for bi in range(STAGE_BLOCKS[si]):
-                x = Bottleneck3D(
+                x = block_cls(
                     dim_out=dims_out[si], dim_inner=dims_inner[si],
                     temp_kernel=VISUAL_TEMP_KERNELS[si + 1],
                     spatial_stride=strides[si] if bi == 0 else 1,
@@ -204,11 +212,12 @@ class Contrast(nn.Module):
     train: bool = False
     dtype: Any = jnp.float32
     projection_size: int = PROJECTION_SIZE
+    remat: bool = False
 
     @nn.compact
     def __call__(self, visual, audio):
         v = VisualResNet3D(train=self.train, dtype=self.dtype,
-                           name="visual_conv")(visual)
+                           remat=self.remat, name="visual_conv")(visual)
         a = AudioResNet2D(train=self.train, dtype=self.dtype,
                           name="audio_conv")(audio)
         zv = FFNLayer(v.shape[-1], self.projection_size, train=self.train,

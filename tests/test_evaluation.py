@@ -206,3 +206,47 @@ class TestOrbaxCheckpoint:
             jax.tree_util.tree_leaves(restored.params),
         ):
             assert np.allclose(a, b)
+
+
+class TestRematAndWorkers:
+    def test_remat_matches_no_remat(self):
+        v = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (1, 2, 32, 32, 3)), jnp.uint8
+        ).astype(jnp.float32)
+        a = jnp.zeros((1, 80, 128, 1))
+        plain = em.Contrast(train=False)
+        remat = em.Contrast(train=False, remat=True)
+        variables = plain.init(jax.random.PRNGKey(0), v, a)
+        zv1, za1 = plain.apply(variables, v, a)
+        zv2, za2 = remat.apply(variables, v, a)
+        np.testing.assert_allclose(np.asarray(zv1), np.asarray(zv2), rtol=1e-5)
+        # gradients flow through the remat variant
+        def loss(params):
+            out = remat.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]}, v, a
+            )
+            return (out[0] ** 2).sum()
+
+        g = jax.grad(loss)(variables["params"])
+        assert np.isfinite(
+            float(jax.tree_util.tree_reduce(lambda c, x: c + np.abs(x).sum(),
+                                            g, 0.0))
+        )
+
+    def test_multiprocess_loader_matches_inline(self, tmp_path):
+        from tests.synthetic import make_shards
+        from acav100m_tpu.data.meta import load_metadata
+        from acav100m_tpu.data.tar_dataset import make_loader
+
+        make_shards(tmp_path, num_shards=2, clips_per_shard=2)
+        shards = sorted(tmp_path.glob("shard-*.tar"))
+        metas, _ = load_metadata(shards)
+        inline = [
+            b for b in make_loader(shards, metas, 2, prefetch=0, num_workers=0)
+        ]
+        pooled = [
+            b for b in make_loader(shards, metas, 2, prefetch=0, num_workers=2)
+        ]
+        names_a = sorted(n for b in inline for n in b["filename"] if n)
+        names_b = sorted(n for b in pooled for n in b["filename"] if n)
+        assert names_a == names_b and len(names_a) == 4
