@@ -63,6 +63,45 @@ def gaussian_pair_views(
     return views
 
 
+def image_pair_views(
+    images: np.ndarray,
+    labels: np.ndarray,
+    transform: str = "rotate",
+    num_layers: int = 1,
+    seed: int = 0,
+) -> Dict[str, Dict[str, Dict]]:
+    """Paired views from a real image dataset: (original, transformed)
+    — the reference's CIFAR10/MNIST rotated/flipped pair experiments
+    (``image_datasets.py:23-59``, ``image_pair_data.py``).
+
+    Features are flattened pixels (each "layer" gets an independent random
+    projection), standing in for the reference's pretrained-ResNet layers,
+    which need downloadable weights.
+    """
+    rng = np.random.RandomState(seed)
+    images = np.asarray(images, dtype=np.float32)
+    if transform == "rotate":
+        transformed = np.rot90(images, k=1, axes=(1, 2))
+    elif transform == "flip":
+        transformed = images[:, :, ::-1]
+    else:
+        raise ValueError(f"unknown transform {transform!r}")
+    flat_a = images.reshape(len(images), -1)
+    flat_b = transformed.reshape(len(images), -1)
+    views: Dict[str, Dict[str, Dict]] = {}
+    for mod, flat in (("orig", flat_a), (transform, flat_b)):
+        for l in range(num_layers):
+            proj = rng.randn(flat.shape[1], min(32, flat.shape[1])).astype(
+                np.float32
+            ) / np.sqrt(flat.shape[1])
+            feats = flat @ proj
+            views[f"{mod}-layer_{l}"] = {
+                f"i{i:05d}": {"data": feats[i], "label": int(labels[i])}
+                for i in range(len(images))
+            }
+    return views
+
+
 def run_experiment(
     views: Optional[Dict] = None,
     deranged_classes_ratio: float = 0.5,
