@@ -284,7 +284,8 @@ def load_attrs(dt) -> KMeansState:
 
 def make_sharded_train_step(mesh, axis_name: str = "data",
                             initial_rounds: int = 10,
-                            reinit: Tuple[float, float] = (0.7, 5.0)):
+                            reinit: Tuple[float, float] = (0.7, 5.0),
+                            use_pallas: bool = False):
     """jit a shard_map'd train step: batch sharded on B, state replicated.
 
     XLA turns the psums into ICI all-reduces — the TPU equivalent of the
@@ -296,7 +297,7 @@ def make_sharded_train_step(mesh, axis_name: str = "data",
         return train_step(
             state, batch, lr, key,
             initial_rounds=initial_rounds, reinit=reinit,
-            axis_name=axis_name,
+            axis_name=axis_name, use_pallas=use_pallas,
         )
 
     smapped = shard_map(

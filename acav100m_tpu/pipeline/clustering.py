@@ -58,6 +58,7 @@ DEFAULTS = {
         "index": 0,
         "total": 1,
         "shuffle_bufsize": 1000,
+        "use_pallas": False,
     },
     "clustering": {
         "ncentroids": 32,
@@ -240,10 +241,15 @@ def train_clusters(cfg, mesh=None):
     rng = random.Random(cfg.computation.random_seed or 0)
     key = jax.random.PRNGKey((cfg.computation.random_seed or 0) + 1 + index)
 
+    use_pallas = bool(cfg.computation.use_pallas)
     if mesh is not None:
-        step = kmeans.make_sharded_train_step(mesh)
+        step = kmeans.make_sharded_train_step(mesh, use_pallas=use_pallas)
     else:
-        step = jax.jit(kmeans.train_step, static_argnames=())
+        step = jax.jit(
+            lambda s, b, lr, key: kmeans.train_step(
+                s, b, lr, key, use_pallas=use_pallas
+            )
+        )
 
     for epoch in range(pre_epochs, pre_epochs + epochs):
         lr = jnp.float32(kmeans.lr_schedule(epoch))
