@@ -174,9 +174,12 @@ def run_greedy_partition(cfg, rows: Sequence[Dict]) -> List[Dict]:
     else:
         raise ValueError(f"unknown measure {measure_name!r}")
     selected, _, _, _ = selector.run_greedy(subset_size, start_indices)
-    selected = sorted(set(int(s) for s in selected) | set(start_indices))[:subset_size]
+    # parity: batch_mi EXCLUDES the start singleton from the output (it
+    # only seeds the cache, reference batch.py:206-207); plain mi includes
+    # it (mi.py:154) — both selectors already return accordingly.
+    selected = sorted(set(int(s) for s in selected))[:subset_size]
     return [
-        {"filename": filenames[s], "shard_name": shard_names[s]} for s in sorted(selected)
+        {"filename": filenames[s], "shard_name": shard_names[s]} for s in selected
     ]
 
 
