@@ -53,6 +53,7 @@ DEFAULTS = {
         "index": 0,
         "total": 1,
         "discard_shards": False,
+        "dtype": "float32",  # 'bfloat16' runs the conv stacks in bf16
     },
     "acav": {
         "duration": 10,
@@ -72,12 +73,13 @@ def build_models(cfg, key: Optional[jax.Array] = None):
     """Instantiate models + params (converted checkpoints when provided)."""
     if key is None:
         key = jax.random.PRNGKey(cfg.computation.random_seed or 0)
+    dtype = jnp.dtype(cfg.computation.dtype or "float32")
     models = OrderedDict()
     params = {}
     kv, ka = jax.random.split(key)
     for name in cfg.models:
         cls = get_model(name)
-        model = cls()
+        model = cls(dtype=dtype)
         models[name] = model
         if model.media_type == "video":
             p = model.init(kv, num_frames=cfg.data.media.num_frames)
