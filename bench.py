@@ -65,11 +65,13 @@ def main():
     )
 
     rng = np.random.RandomState(0)
-    batch = 8
+    batch = 32  # big batches saturate the MXU on the low-channel stages
     num_frames, size, audio_len = 32, 256, 160000
 
     # -- stage 4: fused SlowFast+VGGish extraction ---------------------------
-    cfg = get_config()
+    # bf16 conv stacks: the production extraction config (features are cast
+    # back to fp32 on save; parity runs can set computation.dtype=float32)
+    cfg = get_config({"computation.dtype": "bfloat16"})
     models, params = build_models(cfg, key=jax.random.PRNGKey(0))
     extract = make_extract_fn(models)
     frames = jnp.asarray(
@@ -77,7 +79,8 @@ def main():
     )
     audio = jnp.asarray(rng.randn(batch, audio_len), jnp.float32)
     valid = jnp.full((batch,), audio_len, jnp.int32)
-    t_extract = timeit(lambda: extract(params, frames, audio, valid)) / batch
+    t_extract = timeit(lambda: extract(params, frames, audio, valid),
+                       iters=10) / batch
 
     # -- stage 5: fused 10-way k-means (train 2 epochs + assign) -------------
     m, k, dmax = 10, 32, 2304
@@ -128,6 +131,8 @@ def main():
                     "t_cluster_ms": round(t_cluster * 1e3, 4),
                     "t_select_ms": round(t_select * 1e3, 4),
                     "device": str(jax.devices()[0]),
+                    "extract_batch": batch,
+                    "extract_dtype": "bfloat16",
                 },
             }
         )
