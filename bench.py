@@ -65,7 +65,7 @@ def main():
     )
 
     rng = np.random.RandomState(0)
-    batch = 32  # big batches saturate the MXU on the low-channel stages
+    batch = 64  # big batches saturate the MXU on the low-channel stages
     num_frames, size, audio_len = 32, 256, 160000
 
     # -- stage 4: fused SlowFast+VGGish extraction ---------------------------
