@@ -13,7 +13,7 @@ import __graft_entry__ as ge
 
 class TestGraftEntry:
     def test_entry_returns_jittable(self):
-        fn, example_args = ge.entry()
+        fn, example_args = ge.entry()  # params passed explicitly
         out = jax.jit(fn)(*example_args)
         assert len(out) == 10  # 5 vggish + 5 slowfast taps
         dims = sorted(int(t.shape[-1]) for t in out)
