@@ -70,34 +70,50 @@ def get_config(overrides: Optional[Dict] = None) -> Config:
 
 
 def build_models(cfg, key: Optional[jax.Array] = None):
-    """Instantiate models + params (converted checkpoints when provided)."""
+    """Instantiate models + params (converted checkpoints when provided).
+
+    Param init runs on the host CPU device: flax init dispatches hundreds of
+    small ops, which on a remote/tunneled accelerator costs a round trip
+    each; the finished tree transfers to the accelerator in one shot at the
+    first jitted call.
+    """
     if key is None:
         key = jax.random.PRNGKey(cfg.computation.random_seed or 0)
     dtype = jnp.dtype(cfg.computation.dtype or "float32")
     models = OrderedDict()
     params = {}
-    kv, ka = jax.random.split(key)
-    for name in cfg.models:
-        cls = get_model(name)
-        model = cls(dtype=dtype)
-        models[name] = model
-        if model.media_type == "video":
-            p = model.init(kv, num_frames=cfg.data.media.num_frames)
-            wfile = cfg.weights.slowfast_file
-            if wfile and Path(wfile).is_file():
-                from ..models.slowfast import convert_pyslowfast_state_dict
-                from ..utils.io import load_pickle
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
 
-                p = convert_pyslowfast_state_dict(load_pickle(wfile))
-        else:
-            p = model.init(ka)
-            wfile = cfg.weights.vggish_file
-            if wfile and Path(wfile).is_file():
-                from ..models.vggish import convert_torch_state_dict
-                from ..utils.io import load_pickle
+    init_ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with init_ctx:
+        kv, ka = jax.random.split(key)
+        for name in cfg.models:
+            cls = get_model(name)
+            model = cls(dtype=dtype)
+            models[name] = model
+            if model.media_type == "video":
+                # init at a small spatial size: conv/BN param shapes are
+                # independent of H,W and the init forward pass is real work
+                p = model.init(kv, num_frames=cfg.data.media.num_frames, size=32)
+                wfile = cfg.weights.slowfast_file
+                if wfile and Path(wfile).is_file():
+                    from ..models.slowfast import convert_pyslowfast_state_dict
+                    from ..utils.io import load_pickle
 
-                p = convert_torch_state_dict(load_pickle(wfile))
-        params[name] = p
+                    p = convert_pyslowfast_state_dict(load_pickle(wfile))
+            else:
+                p = model.init(ka)
+                wfile = cfg.weights.vggish_file
+                if wfile and Path(wfile).is_file():
+                    from ..models.vggish import convert_torch_state_dict
+                    from ..utils.io import load_pickle
+
+                    p = convert_torch_state_dict(load_pickle(wfile))
+            params[name] = p
     return models, params
 
 
