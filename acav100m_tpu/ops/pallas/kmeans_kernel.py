@@ -64,8 +64,7 @@ def _kernel(centers_ref, counts_ref, thresh_ref, batch_ref,
     dist = jnp.where(underused, dist / 5.0, dist)
 
     # argmin without producing a lane-reduced 1-D vector (Mosaic cannot
-    # relayout those): one-hot of the first minimum via a lane cumsum, then
-    # indices by a matmul against iota
+    # relayout those): keepdims reductions + broadcast compares only
     tb, k = dist.shape
     min_d = jnp.min(dist, axis=-1, keepdims=True)  # (TB, 1)
     # first-minimum index: min over lanes of (lane index where minimal,
