@@ -78,6 +78,44 @@ def device_trace(log_dir: Optional[str] = None):
         jax.profiler.stop_trace()
 
 
+class TensorBoardWriter:
+    """Master-only scalar writer (reference utils/logging.py:12-68 +
+    meters' TB writer). Gated on tensorboard availability; no-op when the
+    package or the log dir is absent."""
+
+    def __init__(self, log_dir=None, enabled: bool = True):
+        self.writer = None
+        if not enabled or log_dir is None:
+            return
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+            self.writer = SummaryWriter(str(log_dir))
+        except Exception:
+            try:
+                import tensorflow as tf  # type: ignore
+
+                self._tf = tf
+                self.writer = tf.summary.create_file_writer(str(log_dir))
+            except Exception:
+                self.writer = None
+
+    def add_scalars(self, scalars: Dict[str, float], step: int):
+        if self.writer is None:
+            return
+        if hasattr(self.writer, "add_scalar"):  # torch SummaryWriter
+            for k, v in scalars.items():
+                self.writer.add_scalar(k, v, step)
+        else:  # tf writer
+            with self.writer.as_default():
+                for k, v in scalars.items():
+                    self._tf.summary.scalar(k, v, step=step)
+
+    def close(self):
+        if self.writer is not None and hasattr(self.writer, "close"):
+            self.writer.close()
+
+
 class Meters:
     """A named bag of scalar meters for train loops."""
 
