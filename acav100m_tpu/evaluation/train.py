@@ -234,6 +234,11 @@ def pretrain(
         state, metrics = step_fn(
             state, jnp.asarray(batch["visual"]), jnp.asarray(batch["audio"])
         )
+        if (i + 1) % log_every == 0 and not np.isfinite(float(metrics["loss"])):
+            # NaN check (reference utils/misc.py:9)
+            raise FloatingPointError(
+                f"loss became non-finite at step {int(state.step)}"
+            )
         if (i + 1) % log_every == 0:
             history.append(
                 {

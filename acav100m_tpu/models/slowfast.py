@@ -228,6 +228,7 @@ def pack_pathways(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return slow, fast
 
 
+@register_model("layer_slow_fast")  # reference config.py:2 spelling
 @register_model("layer_slowfast")
 class LayerSlowFast:
     """Layer-tapped SlowFast over uint8 frame batches (B,32,256,256,3)."""
@@ -253,6 +254,7 @@ class LayerSlowFast:
         return self.apply(params, frames)
 
 
+@register_model("slow_fast")  # reference model_types spelling
 @register_model("slowfast")
 class SlowFast(LayerSlowFast):
     """Final-layer-only variant (2304-d; reference slowfast.py:31-95)."""

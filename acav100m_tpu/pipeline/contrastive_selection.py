@@ -179,3 +179,39 @@ def run_contrastive_selection(
     selected = rank_and_cut(metas, scores, subset_ratio, subset_size)
     rows = [{"filename": m["filename"], "shard_name": m["shard_name"]} for m in selected]
     return save_output_csv(rows, metas_by_shard or {}, Path(out_path))
+
+
+def merge_contrastive_csvs(cache_csvs, out_path, subset_size=None,
+                           subset_ratio=0.2, dedupe=True):
+    """Merge per-chunk contrastive score csvs, sort by score desc, dedupe,
+    cut top-k (reference merge_contrastive.py:16-130 + do_sample.py).
+
+    Expects rows ``shard_name,filename,score``; writes the same format.
+    """
+    import csv as _csv
+    from pathlib import Path as _Path
+
+    rows = []
+    for path in cache_csvs:
+        with open(path) as f:
+            for row in _csv.reader(f):
+                if len(row) >= 3:
+                    rows.append((row[0], row[1], float(row[2])))
+    rows.sort(key=lambda r: -r[2])
+    if subset_size is None:
+        subset_size = round(subset_ratio * len(rows))
+    out, seen = [], set()
+    for shard, fname, score in rows:
+        if dedupe and fname in seen:
+            continue
+        seen.add(fname)
+        out.append((shard, fname, score))
+        if len(out) >= subset_size:
+            break
+    out_path = _Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, "w") as f:
+        w = _csv.writer(f)
+        for row in out:
+            w.writerow(row)
+    return out_path, len(out)

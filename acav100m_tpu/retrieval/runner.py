@@ -144,6 +144,16 @@ def run_experiment(
             batch_size=batch_size, selection_size=batch_selection_size,
             seed=seed,
         )
+    elif optimizer == "pca_rank":
+        from .clustering import whiten
+        from .pca_optim import pca_rank_selection, pca_project
+
+        projections = [
+            pca_project(whiten(feats[v])) for v in sorted(feats)
+        ]
+        order, gains = pca_rank_selection(
+            projections, pairs, subset_size, measure=measure
+        )
     elif optimizer in ("greedy", "celf"):
         oracle = get_oracle_measure(measure, assignments, pairs)
         order, gains = OPTIMIZERS[optimizer](

@@ -167,3 +167,37 @@ class TestCompareMeasures:
         # the two MI implementations must make (nearly) identical choices
         assert part["selection_equal_ratio"] > 0.9
         assert part["max_gain_diff"] < 1e-2
+
+
+class TestParityPolish:
+    def test_model_name_aliases(self):
+        from acav100m_tpu.models import get_model
+
+        assert get_model("layer_slow_fast") is get_model("layer_slowfast")
+        assert get_model("slow_fast") is get_model("slowfast")
+
+    def test_pca_rank_selection(self):
+        from acav100m_tpu.retrieval.runner import gaussian_pair_views, run_experiment
+
+        res = run_experiment(
+            views=gaussian_pair_views(nclasses=6, per_class=10, num_layers=1,
+                                      noise=0.1, seed=11),
+            ncentroids=6, clustering_method="sklearn",
+            optimizer="pca_rank", measure="pca_cs", seed=11,
+        )
+        assert 0.0 <= res["precision"] <= 1.0
+        assert len(res["selection"]) == res["subset_size"]
+
+    def test_merge_contrastive(self, tmp_path):
+        from acav100m_tpu.pipeline.contrastive_selection import merge_contrastive_csvs
+
+        (tmp_path / "a.csv").write_text("s0,f1,0.9\ns0,f2,0.1\n")
+        (tmp_path / "b.csv").write_text("s1,f3,0.5\ns1,f1,0.8\n")
+        out, n = merge_contrastive_csvs(
+            [tmp_path / "a.csv", tmp_path / "b.csv"],
+            tmp_path / "merged.csv", subset_size=2,
+        )
+        lines = out.read_text().strip().split("\n")
+        assert n == 2
+        assert lines[0].startswith("s0,f1")  # best score first, deduped
+        assert lines[1].startswith("s1,f3")
