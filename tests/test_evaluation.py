@@ -250,3 +250,25 @@ class TestRematAndWorkers:
         names_a = sorted(n for b in inline for n in b["filename"] if n)
         names_b = sorted(n for b in pooled for n in b["filename"] if n)
         assert names_a == names_b and len(names_a) == 4
+
+
+class TestPretrainDataFromShards:
+    def test_pretrain_batches_from_tar_shards(self, tmp_path):
+        from tests.synthetic import make_shards
+        from acav100m_tpu.data.meta import load_metadata
+        from acav100m_tpu.evaluation.data import pretrain_batches
+
+        make_shards(tmp_path, num_shards=1, clips_per_shard=4, num_frames=12,
+                    size=40)
+        shards = sorted(tmp_path.glob("shard-*.tar"))
+        metas, _ = load_metadata(shards)
+        rng = np.random.RandomState(0)
+        batches = list(
+            pretrain_batches(shards, metas, batch_size=2, rng=rng,
+                             num_frames=NUM_FRAMES, crop=CROP)
+        )
+        assert len(batches) == 2
+        for b in batches:
+            assert b["visual"].shape == (2, NUM_FRAMES, CROP, CROP, 3)
+            assert b["audio"].shape == (2, 80, 128, 1)
+            assert np.isfinite(b["audio"]).all()
