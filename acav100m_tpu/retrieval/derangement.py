@@ -116,6 +116,96 @@ def derange_views(
     }
 
 
+def derange_views_sample_level(
+    views: Dict[str, Dict[str, Dict]],
+    deranged_samples_ratio: float = 0.5,
+    rng: Optional[np.random.RandomState] = None,
+    shuffle_true_ids: bool = True,
+) -> Dict:
+    """Sample-level derangement (reference derangement/sample_level.py):
+    derange a FRACTION OF SAMPLES regardless of class — matched rows stay
+    aligned across views, deranged rows are shuffled independently per view.
+
+    Same output dict as ``derange_views`` (``matched_classes`` is None: at
+    sample level every class contains both matched and deranged rows).
+    """
+    if rng is None:
+        rng = np.random.RandomState(0)
+    # align views on common vids (match_datapoints, common.py:37-53)
+    common = None
+    for view in views.values():
+        keys = set(view.keys())
+        common = keys if common is None else (common & keys)
+    vids = sorted(common)
+    dataset_size = len(vids)
+    subset_size = dataset_size - math.floor(deranged_samples_ratio * dataset_size)
+
+    order = rng.permutation(dataset_size)  # which rows are candidates
+    matched_vids = [vids[i] for i in order[:subset_size]]
+    deranged_vids = [vids[i] for i in order[subset_size:]]
+
+    if shuffle_true_ids:
+        true_ids = sorted(
+            rng.choice(dataset_size, size=subset_size, replace=False).tolist()
+        )
+    else:
+        true_ids = list(range(subset_size))
+    true_shuffle = rng.permutation(subset_size)
+    wrong_shuffles = {
+        view: rng.permutation(dataset_size - subset_size) for view in views
+    }
+
+    final: Dict[str, List] = {}
+    for view, data in views.items():
+        matched_rows = [data[matched_vids[i]] for i in true_shuffle]
+        wrong_rows = [data[deranged_vids[i]] for i in wrong_shuffles[view]]
+        rows: List = []
+        ti = list(true_ids)
+        for i in range(dataset_size):
+            if ti and i == ti[0]:
+                rows.append(matched_rows.pop(0))
+                ti.pop(0)
+            else:
+                rows.append(wrong_rows.pop(0))
+        final[view] = rows
+
+    return {
+        "features": final,
+        "true_ids": list(true_ids),
+        "dataset_size": dataset_size,
+        "subset_size": subset_size,
+        "nclasses": len({d["label"] for d in next(iter(views.values())).values()}),
+        "matched_classes": None,
+    }
+
+
+def split_views(
+    views: Dict[str, Dict[str, Dict]],
+    train_ratio: float = 0.8,
+    rng: Optional[np.random.RandomState] = None,
+) -> Tuple[Dict, Dict]:
+    """Per-class train/test split of paired views (reference
+    derangement/split.py) — used by the metric-learning probe."""
+    if rng is None:
+        rng = np.random.RandomState(0)
+    first = next(iter(views.values()))
+    by_class = defaultdict(list)
+    for vid in sorted(first):
+        by_class[first[vid]["label"]].append(vid)
+    train_vids, test_vids = set(), set()
+    for label, vids in by_class.items():
+        vids = list(vids)
+        rng.shuffle(vids)
+        cut = round(len(vids) * train_ratio)
+        train_vids.update(vids[:cut])
+        test_vids.update(vids[cut:])
+    train = {v: {k: d for k, d in data.items() if k in train_vids}
+             for v, data in views.items()}
+    test = {v: {k: d for k, d in data.items() if k in test_vids}
+            for v, data in views.items()}
+    return train, test
+
+
 def precision_recall_f1(
     selected: Sequence[int], true_ids: Sequence[int]
 ) -> Tuple[float, float, float]:

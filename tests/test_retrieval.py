@@ -223,3 +223,49 @@ class TestImagePairViews:
         views = image_pair_views(images, rng.randint(0, 2, 20), "flip")
         assert set(views) == {"orig-layer_0", "flip-layer_0"}
         assert len(views["orig-layer_0"]) == 20
+
+
+class TestSampleLevelDerangement:
+    def test_structure_and_alignment(self):
+        views = gaussian_pair_views(nclasses=4, per_class=10, num_layers=1,
+                                    noise=0.0, seed=12)
+        der = dr.derange_views_sample_level(
+            views, 0.5, rng=np.random.RandomState(0)
+        )
+        assert der["dataset_size"] == 40
+        assert der["subset_size"] == 20
+        # matched rows carry identical latent data across views (noise=0
+        # gaussian views share class means only, so compare labels AND the
+        # originating vid via data equality of the shared latent is not
+        # available — check labels align at true ids)
+        la = np.array([d["label"] for d in der["features"]["audio-layer_0"]])
+        lv = np.array([d["label"] for d in der["features"]["visual-layer_0"]])
+        true = np.asarray(der["true_ids"])
+        assert (la[true] == lv[true]).all()
+
+    def test_selection_recovers_sample_level_matches(self):
+        views = gaussian_pair_views(nclasses=8, per_class=12, num_layers=1,
+                                    noise=0.2, seed=13)
+        der = dr.derange_views_sample_level(
+            views, 0.5, rng=np.random.RandomState(1)
+        )
+        feats = {
+            v: np.stack([d["data"] for d in rows])
+            for v, rows in der["features"].items()
+        }
+        cls = rc.cluster_views(feats, 8, method="sklearn", seed=13)
+        assignments = rc.assignments_matrix(cls)
+        from acav100m_tpu.retrieval.optimizers import efficient_greedy
+
+        sel, _ = efficient_greedy(assignments, [(0, 1)], 8,
+                                  der["subset_size"], [int(der["true_ids"][0])])
+        p, _, _ = dr.precision_recall_f1(sel, der["true_ids"])
+        assert p > 0.6  # clearly above the 0.5 chance level
+
+    def test_split_views(self):
+        views = gaussian_pair_views(nclasses=4, per_class=10, num_layers=1,
+                                    seed=14)
+        train, test = dr.split_views(views, 0.8, np.random.RandomState(0))
+        assert len(train["audio-layer_0"]) == 32
+        assert len(test["audio-layer_0"]) == 8
+        assert not set(train["audio-layer_0"]) & set(test["audio-layer_0"])
