@@ -127,19 +127,76 @@ class Stage(nn.Module):
         return x
 
 
+class _StemKernel(nn.Module):
+    """Bare (kt,7,7,Cin,Cout) kernel parameter named like nn.Conv's, so the
+    s2d path shares checkpoint layout with the plain path."""
+
+    kt: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kt, 7, 7, self.cin, self.cout),
+        )
+
+
 class Stem(nn.Module):
+    """Stem conv (kt,7,7) stride (1,2,2) + BN/ReLU + spatial max pool.
+
+    ``s2d=True`` evaluates the IDENTICAL convolution via a 2x2
+    space-to-depth rewrite: the 3-channel 7x7/stride-2 conv (3/128 MXU lane
+    utilization — about half of total model time) becomes a 12-channel
+    4x4/stride-1 conv on half-resolution blocks. Parameters keep the
+    canonical (kt,7,7,Cin,Cout) layout under ``conv/kernel`` — the kernel is
+    rearranged at apply time, so checkpoints and converters are unaffected.
+    Requires even H, W.
+
+    Derivation (per spatial dim, pad 3, stride 2): output i reads input
+    rows 2i-3..2i+3, which live in 2-row blocks i-2..i+1 at in-block offset
+    a, with w_s2d[m, a] = w[2m + a - 1] (zero outside 0..6) — i.e. kernel 4,
+    stride 1, padding (2, 1) in block space.
+    """
+
     dim_out: int
     temp_kernel: int
     dtype: Any = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
         kt = self.temp_kernel
-        x = nn.Conv(
-            self.dim_out, (kt, 7, 7), strides=(1, 2, 2),
-            padding=((kt // 2, kt // 2), (3, 3), (3, 3)),
-            use_bias=False, dtype=self.dtype, name="conv",
-        )(x)
+        use_s2d = self.s2d and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0
+        if use_s2d:
+            b, t, h, w, c = x.shape
+            kernel = _StemKernel(kt, c, self.dim_out, name="conv")()
+            # input blocks: (B,T,H/2,W/2, 2*2*C), block-major (a,b,c) packing
+            xb = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+            xb = xb.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+                b, t, h // 2, w // 2, 4 * c
+            )
+            # kernel rearrange: w2[kt, m, n, (a,b,cin)] = w[kt, 2m+a-1, 2n+b-1]
+            # (pad the 7-tap dims to 8 so padded index = 2m+a)
+            kpad = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+            w2 = kpad.reshape(kt, 4, 2, 4, 2, c, self.dim_out)
+            w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+                kt, 4, 4, 4 * c, self.dim_out
+            )
+            x = jax.lax.conv_general_dilated(
+                xb.astype(self.dtype),
+                w2.astype(self.dtype),
+                window_strides=(1, 1, 1),
+                padding=((kt // 2, kt // 2), (2, 1), (2, 1)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+        else:
+            x = nn.Conv(
+                self.dim_out, (kt, 7, 7), strides=(1, 2, 2),
+                padding=((kt // 2, kt // 2), (3, 3), (3, 3)),
+                use_bias=False, dtype=self.dtype, name="conv",
+            )(x)
         x = nn.relu(BN(self.dtype, name="bn")(x))
         # spatial max pool 1x3x3 stride 1x2x2
         return nn.max_pool(
@@ -177,13 +234,16 @@ class SlowFastBackbone(nn.Module):
     """Returns the 5 layer taps; input (slow (B,8,H,W,3), fast (B,32,H,W,3))."""
 
     dtype: Any = jnp.float32
+    s2d: bool = True  # space-to-depth stems (bit-identical, ~MXU-friendly)
 
     @nn.compact
     def __call__(self, slow, fast) -> List[jnp.ndarray]:
         taps: List[jnp.ndarray] = []
         w = 64  # width per group
-        slow = Stem(w, SLOW_TEMP_KERNELS[0], self.dtype, name="s1_slow")(slow)
-        fast = Stem(w // BETA_INV, FAST_TEMP_KERNELS[0], self.dtype, name="s1_fast")(fast)
+        slow = Stem(w, SLOW_TEMP_KERNELS[0], self.dtype, s2d=self.s2d,
+                    name="s1_slow")(slow)
+        fast = Stem(w // BETA_INV, FAST_TEMP_KERNELS[0], self.dtype,
+                    s2d=self.s2d, name="s1_fast")(fast)
         slow, fast = FuseFastToSlow(w // BETA_INV, self.dtype, name="s1_fuse")(slow, fast)
         taps.append(_pool_all(slow, fast))  # 88
 

@@ -203,3 +203,44 @@ class TestSlowFast:
             jax.tree_util.tree_leaves(converted),
         ):
             assert a.shape == np.asarray(b).shape, f"shape mismatch at {kp}"
+
+
+class TestSpaceToDepthStem:
+    def test_s2d_stem_matches_plain(self):
+        from acav100m_tpu.models.slowfast import Stem
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 4, 32, 32, 3).astype(np.float32))
+        plain = Stem(8, 5, s2d=False)
+        s2d = Stem(8, 5, s2d=True)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        o1 = plain.apply(variables, x)
+        o2 = s2d.apply(variables, x)  # same params, same layout
+        np.testing.assert_allclose(
+            np.asarray(o1), np.asarray(o2), rtol=1e-4, atol=1e-5
+        )
+
+    def test_backbone_s2d_matches_plain(self):
+        from acav100m_tpu.models.slowfast import SlowFastBackbone
+
+        rng = np.random.RandomState(1)
+        slow = jnp.asarray(rng.randn(1, 2, 32, 32, 3).astype(np.float32))
+        fast = jnp.asarray(rng.randn(1, 8, 32, 32, 3).astype(np.float32))
+        plain = SlowFastBackbone(s2d=False)
+        fast_bb = SlowFastBackbone(s2d=True)
+        variables = plain.init(jax.random.PRNGKey(0), slow, fast)
+        t1 = plain.apply(variables, slow, fast)
+        t2 = fast_bb.apply(variables, slow, fast)
+        for a, b in zip(t1, t2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_odd_size_falls_back(self):
+        from acav100m_tpu.models.slowfast import Stem
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 2, 17, 17, 3).astype(np.float32))
+        s2d = Stem(8, 1, s2d=True)
+        v = s2d.init(jax.random.PRNGKey(0), x)
+        out = s2d.apply(v, x)  # falls back to the plain conv path
+        assert out.shape[-1] == 8
