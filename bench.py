@@ -41,15 +41,22 @@ def _sync(out):
     np.asarray(leaf)
 
 
-def timeit(fn, *args, warmup=2, iters=8):
+def timeit(fn, *args, warmup=2, iters=8, repeats=3):
+    """Best-of-``repeats`` timing: the tunneled device occasionally
+    degrades transiently (observed 100x slowdowns that clear on their own);
+    external contention only ever makes us slower, so min is the honest
+    estimate of the compute path."""
     for _ in range(warmup):
         _sync(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
