@@ -114,6 +114,10 @@ def build_models(cfg, key: Optional[jax.Array] = None):
 
                     p = convert_torch_state_dict(load_pickle(wfile))
             params[name] = p
+    if cpu is not None and jax.default_backend() != "cpu":
+        # move the finished tree to the accelerator ONCE — leaving params on
+        # the CPU device would re-transfer them on every jitted call
+        params = jax.device_put(params, jax.devices()[0])
     return models, params
 
 
