@@ -54,6 +54,7 @@ DEFAULTS = {
         "total": 1,
         "discard_shards": False,
         "dtype": "float32",  # 'bfloat16' runs the conv stacks in bf16
+        "num_workers": 0,  # decode worker processes (0 = in-process)
     },
     "acav": {
         "duration": 10,
@@ -184,6 +185,7 @@ def run_extraction(cfg, decoder=None, mesh=None, models=None, params=None):
     loader = make_loader(
         mine, metas, cfg.data.batch_size or 16,
         skip_lists=skip_lists, decoder=decoder, prepare=prepare,
+        num_workers=cfg.computation.num_workers or 0,
     )
 
     # per-shard accumulation: rows[shard][stem] = feature row
