@@ -81,10 +81,25 @@ def candidate_tables(pairs: jnp.ndarray, ncentroids: int, dtype=jnp.float32) -> 
     return {"N": n_mat, "a": a, "b": b, "n": n}
 
 
-def add_candidates_to_cache(cache: Dict, pairs: jnp.ndarray, ncentroids: int) -> Dict:
-    """Fold S selected samples into the cache (reference mi.py:127-148)."""
+def add_candidates_to_cache(
+    cache: Dict, pairs: jnp.ndarray, ncentroids: int, weights: Optional[jnp.ndarray] = None
+) -> Dict:
+    """Fold S selected samples into the cache (reference mi.py:127-148).
+
+    ``weights`` (S,) optionally scales each sample's contribution; pad rows
+    are folded with weight 0 so static-shape batches never corrupt the
+    contingency counts (the reference used dynamic shapes, batch.py:132-171).
+    """
     tables = candidate_tables(pairs, ncentroids, cache["N"].dtype)
-    return {key: cache[key] + tables[key].sum(axis=0) for key in cache}
+    if weights is None:
+        return {key: cache[key] + tables[key].sum(axis=0) for key in cache}
+    w = weights.astype(cache["N"].dtype)
+    out = {}
+    for key in cache:
+        t = tables[key]
+        wk = w.reshape((w.shape[0],) + (1,) * (t.ndim - 1))
+        out[key] = cache[key] + (t * wk).sum(axis=0)
+    return out
 
 
 # -- full-table scores (exact ports of the measure math) ---------------------
@@ -357,7 +372,7 @@ class BatchGreedySelector:
         weights = self.pair_weights
 
         @jax.jit
-        def step(cache, stats, pairs_all, batch_ids):
+        def step(cache, stats, pairs_all, batch_ids, valid_mask):
             pairs = jnp.take(pairs_all, batch_ids, axis=0)  # (B,P,2)
             if scorer == "mem":
                 scores = score_candidates_mem(cache, stats, pairs, ncentroids,
@@ -366,9 +381,17 @@ class BatchGreedySelector:
                 scores = score_candidates_full(cache, pairs, ncentroids,
                                                kind=scorer, average_method=avg,
                                                pair_weights=weights)
+            # Pad rows (static-shape filler for short tail batches) must
+            # never win top-k nor touch the cache: mask their scores to
+            # -inf and fold winners with 0-weight when they are pads
+            # (reference batch.py:132-171 had dynamic shapes, no pads).
+            scores = jnp.where(valid_mask, scores, -jnp.inf)
             top_scores, top_idx = jax.lax.top_k(scores, k)
+            winner_valid = jnp.take(valid_mask, top_idx)
             winner_pairs = jnp.take(pairs, top_idx, axis=0)  # (k,P,2)
-            new_cache = add_candidates_to_cache(cache, winner_pairs, ncentroids)
+            new_cache = add_candidates_to_cache(
+                cache, winner_pairs, ncentroids, weights=winner_valid
+            )
             new_stats = mem_stats(new_cache)
             return new_cache, new_stats, top_idx, top_scores
 
@@ -418,13 +441,15 @@ class BatchGreedySelector:
             if b == 0:
                 break
             batch = self.candidate_ids[:b]
-            if b < self.B:  # pad to static shape; mask pads out of top-k
+            if b < self.B:  # pad to static shape; pads are masked inside step
                 pad = np.full(self.B - b, batch[0], dtype=np.int64)
                 batch_dev = np.concatenate([batch, pad])
             else:
                 batch_dev = batch
+            valid_mask = np.arange(self.B) < b
             self.cache, self.stats, top_idx, top_scores = self._step(
-                self.cache, self.stats, self.pairs_all, jnp.asarray(batch_dev)
+                self.cache, self.stats, self.pairs_all, jnp.asarray(batch_dev),
+                jnp.asarray(valid_mask),
             )
             top_idx = np.asarray(top_idx)
             top_scores = np.asarray(top_scores)
@@ -443,6 +468,10 @@ class BatchGreedySelector:
                 self.candidate_ids = np.concatenate([rest, unselected])
             else:
                 self.candidate_ids = rest
+        # everything folded into the cache, including winners beyond
+        # subset_size when modify_k grew k (diagnostics / cache-integrity
+        # tests); the returned subset is truncated like the reference's.
+        self.folded_ids = list(selected)
         return selected[:subset_size], gains, timelapse, lookups
 
 

