@@ -167,13 +167,70 @@ class Prefetcher:
             yield item
 
 
-def _worker_main(args):
-    """Decode one worker's shard subset -> list of samples (runs in a
-    forked process; the reference's DataLoader-worker model,
-    ``mps/distributed.py worker_urls``)."""
-    shard_paths, metas, skip_lists, decoder, prepare = args
-    ds = TarShardDataset(shard_paths, metas, skip_lists, decoder, prepare)
-    return list(ds)
+def _stream_worker(shard_paths, metas, skip_lists, decoder, prepare, q):
+    """Persistent decode worker: streams its shard subset sample-by-sample
+    onto the shared bounded queue (runs in a *spawned* process — fork under
+    a live JAX runtime deadlocks; the reference instead relied on torch
+    DataLoader workers, ``mps/distributed.py worker_urls``)."""
+    try:
+        ds = TarShardDataset(shard_paths, metas, skip_lists, decoder, prepare)
+        for sample in ds:
+            q.put(("sample", sample))
+    except Exception as e:  # surfaced (not raised) on the consumer side
+        q.put(("error", f"{type(e).__name__}: {e}"))
+    finally:
+        q.put(("done", None))
+
+
+def _pooled_stream(
+    shard_paths: Sequence,
+    metas: Dict,
+    skip_lists: Optional[Dict],
+    decoder: Callable,
+    prepare: Callable,
+    num_workers: int,
+    buffer_samples: int,
+) -> Iterator[Dict]:
+    """Stream samples from ``num_workers`` persistent decode processes.
+
+    Memory is bounded by the queue: at most ``buffer_samples`` decoded
+    clips (~6.3 MB each at production shapes) are in flight, regardless of
+    shard size — round 1 materialized whole shards per worker (~6 GB for a
+    1000-clip shard). Sample order is unordered across workers, like the
+    reference's ``imap_unordered`` DataLoader semantics.
+    """
+    import multiprocessing as mp
+
+    from ..utils.shards import worker_selection
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue(maxsize=max(buffer_samples, 1))
+    procs = []
+    for w in range(num_workers):
+        sub = worker_selection(list(shard_paths), w, num_workers)
+        p = ctx.Process(
+            target=_stream_worker,
+            args=(sub, metas, skip_lists, decoder, prepare, q),
+            daemon=True,
+        )
+        p.start()
+        procs.append(p)
+    done = 0
+    try:
+        while done < num_workers:
+            kind, payload = q.get()
+            if kind == "sample":
+                yield payload
+            elif kind == "error":
+                warnings.warn(f"decode worker failed: {payload}")
+            else:
+                done += 1
+    finally:
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+            p.join(timeout=5)
+        q.close()
 
 
 def make_loader(
@@ -185,39 +242,25 @@ def make_loader(
     prepare: Callable = prepare_clip,
     prefetch: int = 2,
     num_workers: int = 0,
+    buffer_samples: int = 32,
 ) -> Iterable[Dict]:
     """Batched clip loader.
 
-    ``num_workers > 0`` decodes shards in a process pool (shards split
+    ``num_workers > 0`` decodes shards in persistent spawned worker
+    processes that stream samples through a bounded queue (shards split
     round-robin across workers as in the reference's ``worker_urls``);
     TPU-VM hosts have many cores and decode is the system bottleneck
     (SURVEY.md section 7 "hard parts"). ``0`` keeps everything in-process
-    with a background prefetch thread.
+    with a background prefetch thread. ``buffer_samples`` caps in-flight
+    decoded clips so loader memory stays bounded on large shards.
     """
     if num_workers > 0 and len(shard_paths) > 1:
-        import multiprocessing as mp
-
-        from ..utils.shards import worker_selection
-
         num_workers = min(num_workers, len(shard_paths))
-        jobs = [
-            (
-                worker_selection(list(shard_paths), w, num_workers),
-                metas,
-                skip_lists,
-                decoder,
-                prepare,
-            )
-            for w in range(num_workers)
-        ]
-
-        def pooled():
-            ctx = mp.get_context("fork")
-            with ctx.Pool(num_workers) as pool:
-                for samples in pool.imap_unordered(_worker_main, jobs):
-                    yield from samples
-
-        batches = batched(pooled(), batch_size)
+        source = _pooled_stream(
+            shard_paths, metas, skip_lists, decoder, prepare,
+            num_workers, buffer_samples,
+        )
+        batches = batched(source, batch_size)
     else:
         ds = TarShardDataset(shard_paths, metas, skip_lists, decoder, prepare)
         batches = batched(ds, batch_size)

@@ -13,6 +13,7 @@ is the streaming tar loader with prefetch.
 
 from __future__ import annotations
 
+import functools
 import time
 from collections import OrderedDict, defaultdict
 from pathlib import Path
@@ -174,13 +175,14 @@ def run_extraction(cfg, decoder=None, mesh=None, models=None, params=None):
     duration = cfg.acav.duration or 10
     skip_secs = duration * (cfg.acav.skip_shorter_ratio or 0.25)
 
-    def prepare(decoded):
-        return prepare_clip(
-            decoded,
-            num_frames=cfg.data.media.num_frames or 32,
-            duration=duration,
-            skip_shorter_seconds=skip_secs,
-        )
+    # functools.partial of a module-level fn stays picklable for the
+    # spawned decode workers (a closure would not be)
+    prepare = functools.partial(
+        prepare_clip,
+        num_frames=cfg.data.media.num_frames or 32,
+        duration=duration,
+        skip_shorter_seconds=skip_secs,
+    )
 
     loader = make_loader(
         mine, metas, cfg.data.batch_size or 16,

@@ -1,27 +1,38 @@
-"""End-of-round benchmark: curation compute-path throughput on one chip.
+"""End-of-round benchmark: curation throughput on one chip.
 
-Measures the extract -> cluster -> select path in clips/sec/chip on real
-shapes (32x256x256 frames + 10 s of 16 kHz audio per clip), i.e. the
-device-side cost per curated clip:
+Two measurements, both at production shapes (32x256x256x3 uint8 frames +
+10 s of 16 kHz audio per clip):
 
-    t_clip = t_extract + epochs * t_kmeans_train + t_kmeans_assign
-             + t_mi_select      (all amortized per clip)
+* ``device_only`` — the jitted extract -> cluster -> select compute path on
+  pre-staged arrays (what round 1 reported):
+      t_clip = t_extract + epochs * t_kmeans_train + t_kmeans_assign
+               + t_mi_select     (all amortized per clip)
+* ``e2e`` — decode-inclusive: synthetic tar shards on disk -> streaming
+  decode worker pool -> collate -> host->device transfer -> extract, wall
+  clock. Also reported: the host pipeline alone (decode+collate, no
+  device) per worker count, and the measured H2D bandwidth. NB: on the
+  tunneled single-chip dev rig H2D runs at ~0.04 GB/s (vs ~10 GB/s PCIe on
+  a real TPU VM), so ``e2e`` here is a tunnel-bandwidth floor, not a
+  hardware property; the decomposition lets a reader reconstruct the real
+  machine's number as min(host_pipeline, H2D, device_only) overlapped.
 
-Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
-driver's north star is >=5x the reference GPU pipeline; we anchor
-``vs_baseline`` to an estimated 16 clips/sec/GPU for the reference's
-decode-bound extract->cluster->select path, i.e. vs_baseline = value / 80
-means 1.0 == the 5x target.
+Baseline: the reference publishes NO throughput numbers (BASELINE.md).
+``vs_baseline`` anchors to an ESTIMATED 16 clips/sec/GPU for the
+reference's decode-bound pipeline x the driver's 5x north-star target
+(so vs_baseline = value / 80; 1.0 == target met). The anchor is an
+estimate, labeled as such in the detail.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 import json
+import tempfile
 import time
+from pathlib import Path
 
 import numpy as np
 
-REFERENCE_CLIPS_PER_SEC_GPU = 16.0
+REFERENCE_CLIPS_PER_SEC_GPU = 16.0  # estimated, not published (BASELINE.md)
 TARGET_MULTIPLIER = 5.0
 BASELINE_VALUE = REFERENCE_CLIPS_PER_SEC_GPU * TARGET_MULTIPLIER
 
@@ -57,6 +68,98 @@ def timeit(fn, *args, warmup=2, iters=8, repeats=3):
         _sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+
+def _write_production_shards(out_dir: Path, num_shards: int, clips_per_shard: int,
+                             num_frames=32, size=256, audio_len=160000):
+    """Synthetic npz-in-tar shards at production shapes (the stage-3
+    contract, reference bundle.sh + build_metadata.py)."""
+    import io
+    import tarfile
+
+    rng = np.random.RandomState(0)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    count = 0
+    for si in range(num_shards):
+        meta = []
+        with tarfile.open(out_dir / f"shard-{si:06d}.tar", "w") as tf:
+            for ci in range(clips_per_shard):
+                frames = rng.randint(0, 255, (num_frames, size, size, 3)).astype(np.uint8)
+                audio = rng.randn(audio_len).astype(np.float32)
+                buf = io.BytesIO()
+                np.savez(buf, frames=frames, audio=audio, sample_rate=16000,
+                         video_fps=3.2)
+                data = buf.getvalue()
+                fname = f"clip_{si:03d}_{ci:03d}.npz"
+                info = tarfile.TarInfo(fname)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                meta.append({"filename": fname, "id": f"v{count:06d}",
+                             "segment": [0.0, 10.0]})
+                count += 1
+        (out_dir / f"shard-{si:06d}.json").write_text(json.dumps(meta))
+    return count
+
+
+def bench_e2e(extract, params, batch):
+    """Decode-inclusive throughput: tar shards -> worker pool -> device.
+
+    Returns (host-only clips/s per worker count, overlapped e2e clips/s,
+    measured H2D GB/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acav100m_tpu.data.meta import load_metadata
+    from acav100m_tpu.data.tar_dataset import make_loader
+
+    import os
+
+    num_shards, clips_per_shard = 8, 8
+    total = num_shards * clips_per_shard
+    cores = os.cpu_count() or 1
+    # worker processes can only help with >1 core (production TPU-VM hosts
+    # have 96-240; this dev rig may have 1 — report, don't fake a sweep)
+    worker_counts = sorted({0, min(4, cores), min(8, cores)} if cores > 1 else {0})
+    with tempfile.TemporaryDirectory(prefix="acav_bench_") as td:
+        root = Path(td)
+        _write_production_shards(root, num_shards, clips_per_shard)
+        shards = sorted(root.glob("shard-*.tar"))
+        metas, _ = load_metadata(shards)
+
+        # host pipeline alone (decode -> collate), per worker count
+        host_rates = {}
+        for nw in worker_counts:
+            t0 = time.perf_counter()
+            n = 0
+            for b in make_loader(shards, metas, batch_size=batch,
+                                 num_workers=nw, prefetch=2):
+                n += int(np.sum(b["batch_mask"]))
+            host_rates[nw] = round(n / (time.perf_counter() - t0), 1)
+            assert n == total
+
+        # H2D bandwidth (one production batch of frames)
+        probe = np.zeros((batch, 32, 256, 256, 3), np.uint8)
+        d = jax.device_put(probe[:2]); _sync(jnp.sum(d))
+        t0 = time.perf_counter()
+        d = jax.device_put(probe); _sync(jnp.sum(d))
+        h2d_gbps = probe.nbytes / (time.perf_counter() - t0) / 1e9
+
+        # overlapped end-to-end: loader -> device_put -> extract
+        best_nw = max(host_rates, key=host_rates.get)
+        out = None
+        t0 = time.perf_counter()
+        n = 0
+        for b in make_loader(shards, metas, batch_size=batch,
+                             num_workers=best_nw, prefetch=2):
+            frames = jnp.asarray(b["frames"])
+            audio = jnp.asarray(b["audio"])
+            valid = jnp.asarray(b.get("valid_samples",
+                                      np.full(batch, 160000, np.int32)))
+            out = extract(params, frames, audio, valid)
+            n += int(np.sum(b["batch_mask"]))
+        _sync(out)
+        e2e = n / (time.perf_counter() - t0)
+    return host_rates, e2e, h2d_gbps, best_nw, cores
 
 
 def main():
@@ -115,25 +218,51 @@ def main():
         selection_size=sel_k, keep_unselected=True, seed=0,
     )
     ids = jnp.asarray(selector.candidate_ids[:sel_batch])
+    valid_mask = jnp.ones((sel_batch,), bool)
     step = selector._step
 
     def sel_step():
-        return step(selector.cache, selector.stats, selector.pairs_all, ids)[0]["N"]
+        return step(selector.cache, selector.stats, selector.pairs_all, ids,
+                    valid_mask)[0]["N"]
 
     t_sel_step = timeit(sel_step)
     # selection visits ~V/B batches to pick 0.2V -> per-clip cost = t/B
     t_select = t_sel_step / sel_batch
 
     t_clip = t_extract + t_cluster + t_select
-    value = 1.0 / t_clip
+    device_only = 1.0 / t_clip
+
+    # -- decode-inclusive end-to-end -----------------------------------------
+    host_rates, e2e, h2d_gbps, best_nw, cores = bench_e2e(extract, params, batch)
+
     print(
         json.dumps(
             {
                 "metric": "curation clips/sec/chip (extract+cluster+select)",
-                "value": round(value, 3),
+                "value": round(device_only, 3),
                 "unit": "clips/sec/chip",
-                "vs_baseline": round(value / BASELINE_VALUE, 3),
+                "vs_baseline": round(device_only / BASELINE_VALUE, 3),
                 "detail": {
+                    "device_only_clips_per_sec": round(device_only, 3),
+                    "e2e_clips_per_sec": round(e2e, 2),
+                    "e2e_note": (
+                        "tar->decode pool->H2D->extract wall clock; on this "
+                        "tunneled dev chip H2D is the floor (see h2d_gbps; "
+                        "real TPU-VM PCIe is ~10 GB/s)"
+                    ),
+                    "h2d_gbps": round(h2d_gbps, 4),
+                    "host_pipeline_clips_per_sec_by_workers": host_rates,
+                    "host_cores": cores,
+                    "host_note": (
+                        "decode-worker scaling needs a multi-core host "
+                        "(production TPU-VMs have 96-240 cores); pool "
+                        "correctness+boundedness covered in tests"
+                    ) if cores <= 1 else "",
+                    "e2e_workers": best_nw,
+                    "baseline_anchor": (
+                        "estimated 16 clips/sec/GPU x 5x target (reference "
+                        "publishes no throughput numbers)"
+                    ),
                     "t_extract_ms": round(t_extract * 1e3, 3),
                     "t_cluster_ms": round(t_cluster * 1e3, 4),
                     "t_select_ms": round(t_select * 1e3, 4),

@@ -55,3 +55,14 @@ def make_shards(out_dir, num_shards=2, clips_per_shard=4, seed=0,
         (out_dir / f"shard-{si:06d}.json").write_text(json.dumps(meta))
     spec = out_dir / ("shard-{000000..%06d}" % (num_shards - 1))
     return str(spec)
+
+
+def marking_decoder(data, marker_dir):
+    """decode_npz that also drops a marker file per decode — lets tests
+    count how many clips the worker processes have decoded so far."""
+    import uuid
+
+    from acav100m_tpu.data.video import decode_npz
+
+    Path(marker_dir).joinpath(uuid.uuid4().hex).touch()
+    return decode_npz(data)

@@ -251,6 +251,38 @@ class TestRematAndWorkers:
         names_b = sorted(n for b in pooled for n in b["filename"] if n)
         assert names_a == names_b and len(names_a) == 4
 
+    def test_worker_pool_memory_is_bounded(self, tmp_path):
+        """Round-1 regression: workers materialized entire shards
+        (list(ds) per worker). The streaming pool must keep at most
+        ~buffer_samples decoded clips in flight while the consumer stalls."""
+        import functools
+        import time
+
+        from tests.synthetic import make_shards, marking_decoder
+        from acav100m_tpu.data.meta import load_metadata
+        from acav100m_tpu.data.tar_dataset import make_loader
+
+        make_shards(tmp_path, num_shards=2, clips_per_shard=40, size=16)
+        shards = sorted(tmp_path.glob("shard-*.tar"))
+        metas, _ = load_metadata(shards)
+        marker_dir = tmp_path / "markers"
+        marker_dir.mkdir()
+        decoder = functools.partial(marking_decoder, marker_dir=str(marker_dir))
+        loader = make_loader(
+            shards, metas, batch_size=2, decoder=decoder,
+            prefetch=0, num_workers=2, buffer_samples=4,
+        )
+        it = iter(loader)
+        first = next(it)
+        assert sum(first["batch_mask"]) == 2
+        time.sleep(2.0)  # let workers fill the bounded queue
+        decoded_so_far = len(list(marker_dir.iterdir()))
+        # consumed 2 + queue 4 + 1 blocked put per worker + pipeline slack;
+        # the old design would have decoded all 80 by now
+        assert decoded_so_far <= 16, decoded_so_far
+        names = [n for b in it for n in b["filename"] if n]
+        assert len(names) + 2 == 80  # everything still arrives
+
 
 class TestPretrainDataFromShards:
     def test_pretrain_batches_from_tar_shards(self, tmp_path):
