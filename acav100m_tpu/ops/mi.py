@@ -30,6 +30,7 @@ TPU-first design decisions
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -39,6 +40,25 @@ import jax.numpy as jnp
 import numpy as np
 
 EPS = float(np.finfo("float64").eps)
+
+
+def _resolve_dtype(dtype):
+    """'float32'/'float64'/jnp dtype -> (jnp dtype, x64 context factory).
+
+    The reference does all contingency math in float64 (its eps is
+    ``np.finfo('float64').eps``, measures/mi.py:25); fp32 can flip argmax
+    choices on near-tie gains (SURVEY.md section 7, bit-match blocker). The
+    x64 parity mode runs the cache + scoring in f64 under a local
+    ``jax.enable_x64`` scope so the rest of the process stays
+    f32.
+    """
+    dt = jnp.dtype(dtype) if not isinstance(dtype, str) else jnp.dtype(
+        {"float32": jnp.float32, "float64": jnp.float64,
+         "bfloat16": jnp.bfloat16}[dtype]
+    )
+    if dt == jnp.float64:
+        return dt, functools.partial(jax.enable_x64, True)
+    return dt, contextlib.nullcontext
 
 
 # -- cache ------------------------------------------------------------------
@@ -323,6 +343,7 @@ class BatchGreedySelector:
         rng: Optional[np.random.RandomState] = None,
         pair_weights=None,
         mesh=None,
+        dtype=jnp.float32,
     ):
         self.assignments = np.asarray(assignments)
         self.combinations = list(combinations)
@@ -337,11 +358,13 @@ class BatchGreedySelector:
         )
         self.rng = rng if rng is not None else np.random.RandomState(seed)
         self.mesh = mesh
+        self.dtype, self._x64 = _resolve_dtype(dtype)
 
-        pairs_np = pair_assignments(self.assignments, self.combinations)
-        self.pairs_all = self._put_pairs(pairs_np)  # (V, P, 2) device-resident
-        self.cache = init_cache(len(self.combinations), self.C)
-        self.stats = mem_stats(self.cache)
+        with self._x64():
+            pairs_np = pair_assignments(self.assignments, self.combinations)
+            self.pairs_all = self._put_pairs(pairs_np)  # (V, P, 2) device-resident
+            self.cache = init_cache(len(self.combinations), self.C, dtype=self.dtype)
+            self.stats = mem_stats(self.cache)
         self.candidate_ids = np.arange(self.assignments.shape[0], dtype=np.int64)
         self._step = self._build_step()
 
@@ -406,9 +429,10 @@ class BatchGreedySelector:
         ids = np.asarray(list(ids), dtype=np.int64)
         if ids.size == 0:
             return
-        pairs = jnp.take(self.pairs_all, jnp.asarray(ids), axis=0)
-        self.cache = add_candidates_to_cache(self.cache, pairs, self.C)
-        self.stats = mem_stats(self.cache)
+        with self._x64():
+            pairs = jnp.take(self.pairs_all, jnp.asarray(ids), axis=0)
+            self.cache = add_candidates_to_cache(self.cache, pairs, self.C)
+            self.stats = mem_stats(self.cache)
         mask = ~np.isin(self.candidate_ids, ids)
         self.candidate_ids = self.candidate_ids[mask]
 
@@ -447,10 +471,11 @@ class BatchGreedySelector:
             else:
                 batch_dev = batch
             valid_mask = np.arange(self.B) < b
-            self.cache, self.stats, top_idx, top_scores = self._step(
-                self.cache, self.stats, self.pairs_all, jnp.asarray(batch_dev),
-                jnp.asarray(valid_mask),
-            )
+            with self._x64():
+                self.cache, self.stats, top_idx, top_scores = self._step(
+                    self.cache, self.stats, self.pairs_all, jnp.asarray(batch_dev),
+                    jnp.asarray(valid_mask),
+                )
             top_idx = np.asarray(top_idx)
             top_scores = np.asarray(top_scores)
             if b < self.B:
@@ -496,6 +521,7 @@ class GreedySelector:
         scorer: Optional[str] = None,
         pair_weights=None,
         mesh=None,
+        dtype=jnp.float32,
     ):
         self.assignments = np.asarray(assignments)
         self.combinations = list(combinations)
@@ -506,13 +532,15 @@ class GreedySelector:
             np.asarray(pair_weights, np.float32) if pair_weights is not None else None
         )
         self.mesh = mesh
+        self.dtype, self._x64 = _resolve_dtype(dtype)
         # 'mem' scorer valid only for plain MI
         self.scorer = scorer or ("mem" if kind == "mi" else "full")
         pairs_np = pair_assignments(self.assignments, self.combinations)
         self._true_v = pairs_np.shape[0]
-        self.pairs_all = BatchGreedySelector._put_pairs(self, pairs_np)
-        self.cache = init_cache(len(self.combinations), self.C)
-        self.stats = mem_stats(self.cache)
+        with self._x64():
+            self.pairs_all = BatchGreedySelector._put_pairs(self, pairs_np)
+            self.cache = init_cache(len(self.combinations), self.C, dtype=self.dtype)
+            self.stats = mem_stats(self.cache)
         v = int(self.pairs_all.shape[0])  # includes mesh padding rows
         self.active = np.ones(v, dtype=bool)
         self.active[self._true_v:] = False
@@ -545,23 +573,25 @@ class GreedySelector:
 
     def scores(self) -> np.ndarray:
         """Score every candidate against the current cache (diagnostics)."""
-        if self.scorer == "mem":
-            s = score_candidates_mem(self.cache, self.stats, self.pairs_all,
-                                     self.C, pair_weights=self.pair_weights)
-        else:
-            s = score_candidates_full(
-                self.cache, self.pairs_all, self.C, self.kind,
-                self.average_method, pair_weights=self.pair_weights,
-            )
+        with self._x64():
+            if self.scorer == "mem":
+                s = score_candidates_mem(self.cache, self.stats, self.pairs_all,
+                                         self.C, pair_weights=self.pair_weights)
+            else:
+                s = score_candidates_full(
+                    self.cache, self.pairs_all, self.C, self.kind,
+                    self.average_method, pair_weights=self.pair_weights,
+                )
         return np.asarray(s)
 
     def add_samples(self, ids: Sequence[int]):
         ids = np.asarray(list(ids), dtype=np.int64)
         if ids.size == 0:
             return
-        pairs = jnp.take(self.pairs_all, jnp.asarray(ids), axis=0)
-        self.cache = add_candidates_to_cache(self.cache, pairs, self.C)
-        self.stats = mem_stats(self.cache)
+        with self._x64():
+            pairs = jnp.take(self.pairs_all, jnp.asarray(ids), axis=0)
+            self.cache = add_candidates_to_cache(self.cache, pairs, self.C)
+            self.stats = mem_stats(self.cache)
         self.active[ids] = False
 
     def run_greedy(self, subset_size: int, start_indices: Sequence[int] = (),
@@ -576,9 +606,10 @@ class GreedySelector:
         # reference loops to subset_size - 1 (mi.py:161)
         while len(selected) < subset_size - 1:
             t0 = time.time()
-            self.cache, self.stats, idx, score = self._step(
-                self.cache, self.stats, self.pairs_all, jnp.asarray(self.active)
-            )
+            with self._x64():
+                self.cache, self.stats, idx, score = self._step(
+                    self.cache, self.stats, self.pairs_all, jnp.asarray(self.active)
+                )
             idx = int(idx)
             self.active[idx] = False
             selected.append(idx)

@@ -43,7 +43,10 @@ DEFAULTS = {
         "output": {"path": "output.csv"},
         "meta": {"path": None},  # dir or spec of shard jsons
     },
-    "computation": {"random_seed": 0},
+    # dtype 'float64' = x64 parity mode: contingency cache + scoring in f64
+    # to match the reference's np.finfo('float64').eps math
+    # (measures/mi.py:25); f32 can flip argmax picks on near-tie gains.
+    "computation": {"random_seed": 0, "dtype": "float32"},
     "subset": {"ratio": 0.2, "size": None},
     "clustering": {"pairing": "combination"},
     "batch": {"batch_size": 20, "selection_size": 4, "keep_unselected": True},
@@ -154,6 +157,7 @@ def run_greedy_partition(cfg, rows: Sequence[Dict]) -> List[Dict]:
     start_indices = [int(candidates[0])]
 
     measure_name = cfg.measure_name or "batch_mi"
+    dtype = cfg.computation.dtype or "float32"
     if measure_name == "batch_mi":
         selector = BatchGreedySelector(
             assignments,
@@ -163,13 +167,14 @@ def run_greedy_partition(cfg, rows: Sequence[Dict]) -> List[Dict]:
             selection_size=selection_size,
             keep_unselected=bool(cfg.batch.keep_unselected),
             rng=rng,
+            dtype=dtype,
         )
     elif measure_name in ("mi", "ami", "nmi", "mem_mi"):
         kind = "mi" if measure_name == "mem_mi" else measure_name
         scorer = "mem" if measure_name == "mem_mi" else None
         selector = GreedySelector(
             assignments, combinations, ncentroids=ncentroids, kind=kind,
-            scorer=scorer,
+            scorer=scorer, dtype=dtype,
         )
     else:
         raise ValueError(f"unknown measure {measure_name!r}")
@@ -272,3 +277,48 @@ def compare_measures(cfg, measures: Sequence[str] = ("mi", "mem_mi")) -> Dict:
             "subset_size": subset_size,
         }
     return report
+
+
+def compare_dtypes(
+    assignments: np.ndarray,
+    combinations,
+    ncentroids: int,
+    subset_size: int,
+    batch_size: int = 20,
+    selection_size: int = 4,
+    keep_unselected: bool = True,
+    seed: int = 0,
+) -> Dict:
+    """Quantify fp32-vs-fp64 selection drift (the SURVEY section 7 argmax-flip
+    bit-match blocker; reference math is float64, measures/mi.py:25).
+
+    Runs the production batch-greedy measure twice on identical candidate
+    order — once in f32, once in x64 parity mode — and reports the flip rate
+    per round (winner-set disagreement) plus the final subset overlap.
+    """
+    runs = {}
+    for dtype in ("float32", "float64"):
+        sel = BatchGreedySelector(
+            assignments, combinations, ncentroids=ncentroids,
+            batch_size=batch_size, selection_size=selection_size,
+            keep_unselected=keep_unselected,
+            rng=np.random.RandomState(seed), dtype=dtype,
+        )
+        selected, gains, _, _ = sel.run_greedy(subset_size, [0])
+        runs[dtype] = (selected, gains)
+    (s32, g32), (s64, g64) = runs["float32"], runs["float64"]
+    n = min(len(s32), len(s64))
+    rounds32 = [set(s32[i : i + selection_size]) for i in range(0, n, selection_size)]
+    rounds64 = [set(s64[i : i + selection_size]) for i in range(0, n, selection_size)]
+    flips = sum(a != b for a, b in zip(rounds32, rounds64))
+    overlap = len(set(s32) & set(s64)) / max(1, len(set(s64)))
+    gdiff = [abs(a - b) for a, b in zip(g32, g64)]
+    return {
+        "rounds": len(rounds64),
+        "flip_rounds": int(flips),
+        "flip_rate": flips / max(1, len(rounds64)),
+        "subset_overlap": float(overlap),
+        "positionwise_equal": float(np.mean([a == b for a, b in zip(s32, s64)])),
+        "max_gain_diff": float(max(gdiff)) if gdiff else 0.0,
+        "subset_size": subset_size,
+    }
