@@ -151,6 +151,33 @@ def cmd_fixtures(args):
     print(f"wrote {args.num_shards} shards ({count} clips) to {out}")
 
 
+def cmd_convert(args):
+    """torch/caffe2 checkpoint -> flax .npz + sha256 manifest
+    (reference weight path: utils_slowfast/load_model.py:24-69)."""
+    from .models.zoo import convert_checkpoint
+
+    manifest = convert_checkpoint(args.model, args.in_path, args.out_path,
+                                  fmt=args.format)
+    import json as _json
+
+    print(_json.dumps(manifest, indent=1))
+
+
+def cmd_zoo(args):
+    """Fetch checkpoint URLs / weights (egress-gated; prints instructions
+    when offline)."""
+    from .models.zoo import fetch_weights, get_model_zoo
+
+    cache_dir = Path(args.cache_dir).expanduser()
+    if args.fetch:
+        path = fetch_weights(args.fetch, cache_dir)
+        print(path)
+    else:
+        choices = get_model_zoo(cache_dir)
+        for config, url in sorted(choices.items()):
+            print(f"{config}\t{url}")
+
+
 def cmd_bench(args):
     import runpy
 
@@ -207,6 +234,20 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_fixtures)
+
+    p = sub.add_parser("convert", help="convert a torch/caffe2 checkpoint to flax npz")
+    p.add_argument("model", choices=["slowfast", "vggish"])
+    p.add_argument("in_path")
+    p.add_argument("out_path")
+    p.add_argument("--format", default=None,
+                   choices=[None, "pyslowfast", "caffe2", "vggish"])
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("zoo", help="list/fetch model-zoo checkpoints (needs egress)")
+    p.add_argument("--cache_dir", default="~/.cache/acav100m_tpu")
+    p.add_argument("--fetch", default=None,
+                   help="config name (e.g. Kinetics/c2/SLOWFAST_8x8_R50) or 'vggish'")
+    p.set_defaults(fn=cmd_zoo)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(fn=cmd_bench)

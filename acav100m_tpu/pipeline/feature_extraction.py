@@ -71,6 +71,27 @@ def get_config(overrides: Optional[Dict] = None) -> Config:
     return build_config(DEFAULTS, overrides, strict=True)
 
 
+def _load_weights_file(wfile, model: str):
+    """Converted ``.npz`` flax trees load directly; torch/caffe2 checkpoints
+    convert on the fly (``python -m acav100m_tpu convert`` pre-converts,
+    docs/WEIGHTS.md)."""
+    from ..models import zoo
+
+    wfile = Path(wfile)
+    if wfile.suffix == ".npz":
+        return zoo.load_flax_npz(wfile)
+    sd = zoo.load_torch_checkpoint(wfile)
+    if model == "slowfast":
+        from ..models.slowfast import convert_pyslowfast_state_dict
+
+        if any("branch2a" in k or k == "conv1_w" for k in sd):
+            sd = zoo.caffe2_to_pyslowfast(sd)
+        return convert_pyslowfast_state_dict(sd)
+    from ..models.vggish import convert_torch_state_dict
+
+    return convert_torch_state_dict(sd)
+
+
 def build_models(cfg, key: Optional[jax.Array] = None):
     """Instantiate models + params (converted checkpoints when provided).
 
@@ -103,18 +124,12 @@ def build_models(cfg, key: Optional[jax.Array] = None):
                 p = model.init(kv, num_frames=cfg.data.media.num_frames, size=32)
                 wfile = cfg.weights.slowfast_file
                 if wfile and Path(wfile).is_file():
-                    from ..models.slowfast import convert_pyslowfast_state_dict
-                    from ..utils.io import load_pickle
-
-                    p = convert_pyslowfast_state_dict(load_pickle(wfile))
+                    p = _load_weights_file(wfile, "slowfast")
             else:
                 p = model.init(ka)
                 wfile = cfg.weights.vggish_file
                 if wfile and Path(wfile).is_file():
-                    from ..models.vggish import convert_torch_state_dict
-                    from ..utils.io import load_pickle
-
-                    p = convert_torch_state_dict(load_pickle(wfile))
+                    p = _load_weights_file(wfile, "vggish")
             params[name] = p
     if cpu is not None and jax.default_backend() != "cpu":
         # move the finished tree to the accelerator ONCE — leaving params on

@@ -66,3 +66,51 @@ def marking_decoder(data, marker_dir):
 
     Path(marker_dir).joinpath(uuid.uuid4().hex).touch()
     return decode_npz(data)
+
+
+def make_pyslowfast_state_dict(rng):
+    """Deterministic torch-style state dict for the REAL SlowFast-R50
+    two-pathway topology (PySlowFast module names, numpy values) — the
+    input contract of ``convert_pyslowfast_state_dict``."""
+    import numpy as np
+
+    from acav100m_tpu.models.slowfast import BETA_INV, STAGE_BLOCKS
+
+    sd = {}
+
+    def add_bn(prefix, c):
+        sd[f"{prefix}.weight"] = (1 + 0.01 * rng.randn(c)).astype(np.float32)
+        sd[f"{prefix}.bias"] = (0.01 * rng.randn(c)).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = (0.01 * rng.randn(c)).astype(np.float32)
+        sd[f"{prefix}.running_var"] = (1 + 0.1 * np.abs(rng.randn(c))).astype(np.float32)
+
+    sd["s1.pathway0_stem.conv.weight"] = (0.05 * rng.randn(64, 3, 1, 7, 7)).astype(np.float32)
+    add_bn("s1.pathway0_stem.bn", 64)
+    sd["s1.pathway1_stem.conv.weight"] = (0.05 * rng.randn(8, 3, 5, 7, 7)).astype(np.float32)
+    add_bn("s1.pathway1_stem.bn", 8)
+    for i, fc in enumerate([8, 32, 64, 128]):
+        sd[f"s{i + 1}_fuse.conv_f2s.weight"] = (0.05 * rng.randn(fc * 2, fc, 7, 1, 1)).astype(np.float32)
+        add_bn(f"s{i + 1}_fuse.bn", fc * 2)
+    slow_in = [80, 320, 640, 1280]
+    slow_out = [256, 512, 1024, 2048]
+    slow_inner = [64, 128, 256, 512]
+    slow_kt = [1, 1, 3, 3]
+    for si in range(4):
+        for pw in (0, 1):
+            div = 1 if pw == 0 else BETA_INV
+            cin = slow_in[si] if pw == 0 else (slow_out[si - 1] // BETA_INV if si else 8)
+            cout, cinn = slow_out[si] // div, slow_inner[si] // div
+            kt = slow_kt[si] if pw == 0 else 3
+            for bi in range(STAGE_BLOCKS[si]):
+                pre = f"s{si + 2}.pathway{pw}_res{bi}"
+                bin_ = cin if bi == 0 else cout
+                sd[f"{pre}.branch2.a.weight"] = (0.05 * rng.randn(cinn, bin_, kt, 1, 1)).astype(np.float32)
+                add_bn(f"{pre}.branch2.a_bn", cinn)
+                sd[f"{pre}.branch2.b.weight"] = (0.05 * rng.randn(cinn, cinn, 1, 3, 3)).astype(np.float32)
+                add_bn(f"{pre}.branch2.b_bn", cinn)
+                sd[f"{pre}.branch2.c.weight"] = (0.05 * rng.randn(cout, cinn, 1, 1, 1)).astype(np.float32)
+                add_bn(f"{pre}.branch2.c_bn", cout)
+                if bi == 0:
+                    sd[f"{pre}.branch1.weight"] = (0.05 * rng.randn(cout, bin_, 1, 1, 1)).astype(np.float32)
+                    add_bn(f"{pre}.branch1_bn", cout)
+    return sd
