@@ -206,10 +206,19 @@ def get_chunks(paths: Sequence, chunk_size: int):
         yield list(paths[i : i + chunk_size])
 
 
-def run_chunks(cfg) -> Tuple[Path, int]:
+def run_chunks(cfg, _trace: Optional[list] = None) -> Tuple[Path, int]:
     """Chunk mode (``chunk.py:21-140``): independent selection per chunk of
-    shards, per-chunk cache csvs, then merge. Sequential here — on TPU the
-    parallelism axis is the candidate batch, not processes."""
+    shards, per-chunk cache csvs, then merge.
+
+    The next chunk's pkl loads run on a background thread while the current
+    chunk selects (the reference's ThreadPoolExecutor overlap,
+    ``chunk.py:196-226``); the reference's per-GPU chunk spawn is replaced
+    by the device-side candidate-batch parallelism. ``_trace`` (tests)
+    collects (event, chunk_index, t) tuples proving the overlap.
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
     shard_paths = expand_shard_paths(cfg.data.path)
     chunks = list(get_chunks(shard_paths, int(cfg.chunk_size)))
     num_chunks = len(chunks)
@@ -222,19 +231,34 @@ def run_chunks(cfg) -> Tuple[Path, int]:
     if isinstance(cfg.subset.size, int):
         chunk_cfg.subset.size = math.ceil(cfg.subset.size / num_chunks)
 
-    cache_paths = []
-    for i, chunk in enumerate(chunks):
-        cache_csv = cache_dir / f"cache_{pid}_0_{i}_{out_path.name}"
-        if cache_csv.is_file():
-            cache_paths.append(cache_csv)
-            continue
+    def trace(event, i):
+        if _trace is not None:
+            _trace.append((event, i, time.time()))
+
+    def load_chunk(i, chunk):
+        trace("load_start", i)
         partitions = load_partitions_data(chunk)
         metas = load_metas(cfg.data.meta.path, chunk)
-        for k in sorted(partitions):
-            samples = run_greedy_partition(chunk_cfg, partitions[k])
-            save_output_csv(samples, metas, cache_csv)
-        cache_paths.append(cache_csv)
-    count = merge_csvs(cache_paths, out_path)
+        trace("load_done", i)
+        return partitions, metas
+
+    cache_csvs = [
+        cache_dir / f"cache_{pid}_0_{i}_{out_path.name}" for i in range(num_chunks)
+    ]
+    pending = [i for i in range(num_chunks) if not cache_csvs[i].is_file()]
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        nxt = pool.submit(load_chunk, pending[0], chunks[pending[0]]) if pending else None
+        for j, i in enumerate(pending):
+            partitions, metas = nxt.result()
+            if j + 1 < len(pending):  # prefetch while this chunk selects
+                n = pending[j + 1]
+                nxt = pool.submit(load_chunk, n, chunks[n])
+            trace("select_start", i)
+            for k in sorted(partitions):
+                samples = run_greedy_partition(chunk_cfg, partitions[k])
+                save_output_csv(samples, metas, cache_csvs[i])
+            trace("select_done", i)
+    count = merge_csvs(cache_csvs, out_path)
     return out_path, count
 
 

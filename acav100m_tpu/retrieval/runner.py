@@ -189,17 +189,47 @@ def run_experiment(
     return result
 
 
+def _set_worker_platform():
+    """Grid workers compute on host CPU: many processes sharing one
+    accelerator would serialize anyway (and the reference's CPU pool of 50,
+    grid_search.py:25-76, is the shape being ported)."""
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def _grid_worker(payload):
+    kwargs, out_path, views = payload
+    return run_experiment(views=views, out_path=out_path, **kwargs)
+
+
 def grid_search(option_grid: Dict[str, Sequence], out_dir=None,
-                views: Optional[Dict] = None) -> List[Dict]:
-    """Cartesian-product grid (reference grid_search.py:25-175),
-    sequential. Keys map to ``run_experiment`` kwargs."""
+                views: Optional[Dict] = None,
+                num_workers: Optional[int] = None) -> List[Dict]:
+    """Cartesian-product grid over ``run_experiment`` kwargs, on a process
+    pool (reference ``grid_search.py:25-175``: CPU pool of 50 + per-GPU
+    spawn).
+
+    ``num_workers=None`` sizes the pool to min(jobs, cpu_count); ≤1 runs
+    inline. Workers use a spawn context (fork under JAX deadlocks) and
+    compute on host CPU.
+    """
+    import multiprocessing
+    import os
+
     keys = sorted(option_grid)
-    results = []
+    jobs = []
     for i, combo in enumerate(itertools.product(*[option_grid[k] for k in keys])):
         kwargs = dict(zip(keys, combo))
         out_path = None
         if out_dir is not None:
             tag = "_".join(f"{k}-{v}" for k, v in kwargs.items())
             out_path = Path(out_dir) / f"result_{i:04d}_{tag}.pkl"
-        results.append(run_experiment(views=views, out_path=out_path, **kwargs))
-    return results
+        jobs.append((kwargs, out_path, views))
+    if num_workers is None:
+        num_workers = min(len(jobs), max(1, os.cpu_count() or 1))
+    if num_workers <= 1:
+        return [_grid_worker(j) for j in jobs]
+    ctx = multiprocessing.get_context("spawn")
+    with ctx.Pool(num_workers, initializer=_set_worker_platform) as pool:
+        return pool.map(_grid_worker, jobs)

@@ -185,3 +185,29 @@ class TestSelection:
         assert count == 4
         assert (root / "chunked" / "caches").exists()
         assert len(list((root / "chunked" / "caches").glob("cache_*"))) == 2
+
+    def test_chunk_prefetch_overlaps_selection(self, clustered, workdir):
+        """The next chunk's pkl loads start before the current chunk's
+        selection finishes (reference chunk.py:196-226 async overlap)."""
+        root, ccfg, _ = clustered
+        _, spec = workdir
+        scfg = ss.get_config(
+            {
+                "data.path": str(root / "clusters" / ("shard-{000000..%06d}.pkl" % (NUM_SHARDS - 1))),
+                "data.output.path": str(root / "prefetch" / "output.csv"),
+                "data.meta.path": str(Path(spec).parent),
+                "subset.size": 4,
+                "chunk_size": 1,
+                "batch.batch_size": 4,
+                "batch.selection_size": 2,
+            }
+        )
+        trace = []
+        out_path, count = ss.run_chunks(scfg, _trace=trace)
+        assert count == 4
+        events = {(e, i): t for e, i, t in trace}
+        assert ("load_start", 1) in events and ("select_done", 0) in events
+        # prefetch of chunk 1 was submitted before chunk 0's selection ended
+        assert events[("load_start", 1)] <= events[("select_done", 0)]
+        # ... and chunk 0 selected only after its own load completed
+        assert events[("load_done", 0)] <= events[("select_start", 0)]

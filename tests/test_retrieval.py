@@ -196,6 +196,27 @@ class TestEndToEndRetrieval:
         assert len(results) == 2
         assert len(list(tmp_path.glob("result_*.pkl"))) == 2
 
+    def test_grid_search_process_pool_matches_inline(self, tmp_path):
+        """Grid on a spawn process pool (reference grid_search.py:25-76 ran
+        a 50-proc CPU pool) returns the same results as inline."""
+        views = gaussian_pair_views(nclasses=4, per_class=6, num_layers=1,
+                                    noise=0.2, seed=9)
+        grid = {
+            "measure": ["mi", "nmi"],
+            "ncentroids": [4],
+            "clustering_method": ["sklearn"],
+            "optimizer": ["efficient_greedy"],
+            "seed": [9],
+        }
+        inline = grid_search(grid, views=views, num_workers=1)
+        pooled = grid_search(grid, out_dir=tmp_path, views=views, num_workers=2)
+        assert len(pooled) == 2
+        assert len(list(tmp_path.glob("result_*.pkl"))) == 2
+        for a, b in zip(inline, pooled):
+            assert a["config"] == b["config"]
+            assert a["selection"] == b["selection"]
+            assert a["f1"] == b["f1"]
+
 
 class TestImagePairViews:
     def test_digits_rotated_pair_recovery(self):
