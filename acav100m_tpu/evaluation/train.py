@@ -213,8 +213,18 @@ def pretrain(
     seed: int = 0,
     resume: bool = True,
     log_every: int = 10,
+    tb_dir=None,
 ) -> Tuple[TrainState, list]:
-    """The contrast() pretrain loop (contrast_net.py:25-284), step-based."""
+    """The contrast() pretrain loop (contrast_net.py:25-284), step-based.
+
+    Observability follows the reference's meter stack
+    (``utils/meters.py:15-221`` ScalarMeter windows + ``logging.py:56-68``
+    json stat lines + TensorBoard scalars on demand): windowed
+    median/average loss, iter timing, lr — json lines appended to
+    ``out_dir/stats.jsonl`` and scalars to ``tb_dir`` when given.
+    """
+    from ..utils.profiling import IterTimer, Meters, TensorBoardWriter, log_json_stats
+
     schedule = lr_schedule("linear", base_lr, num_steps, warmup_steps=warmup_steps)
     optimizer = build_optimizer("adamw", schedule)
     model, state, _ = init_pretrain(
@@ -227,6 +237,10 @@ def pretrain(
             state, start_epoch = load_checkpoint(latest)
     step_fn = make_pretrain_step(model, optimizer, mesh=mesh)
     history = []
+    meters = Meters(window_size=log_every)
+    timer = IterTimer(window_size=max(log_every, 2))
+    writer = TensorBoardWriter(tb_dir, enabled=tb_dir is not None)
+    stats_path = Path(out_dir) / "stats.jsonl" if out_dir is not None else None
     t0 = time.time()
     for i, batch in enumerate(batches):
         if int(state.step) >= num_steps:
@@ -234,24 +248,43 @@ def pretrain(
         state, metrics = step_fn(
             state, jnp.asarray(batch["visual"]), jnp.asarray(batch["audio"])
         )
-        if (i + 1) % log_every == 0 and not np.isfinite(float(metrics["loss"])):
+        loss = float(metrics["loss"])
+        meters.add(loss=loss, acc=float(metrics["acc"]))
+        timer.tick()
+        if (i + 1) % log_every == 0 and not np.isfinite(loss):
             # NaN check (reference utils/misc.py:9)
             raise FloatingPointError(
                 f"loss became non-finite at step {int(state.step)}"
             )
         if (i + 1) % log_every == 0:
-            history.append(
-                {
-                    "step": int(state.step),
-                    "loss": float(metrics["loss"]),
-                    "acc": float(metrics["acc"]),
-                    "time": time.time() - t0,
-                }
+            snap = meters.snapshot()
+            entry = {
+                "step": int(state.step),
+                "loss": loss,
+                "acc": float(metrics["acc"]),
+                "loss_median": meters.medians()["loss"],
+                "loss_avg": snap["loss"],
+                "lr": float(schedule(int(state.step))),
+                "iter_s": timer.mean,
+                "time": time.time() - t0,
+            }
+            history.append(entry)
+            log_json_stats({"_type": "train_iter", **entry}, stats_path)
+            writer.add_scalars(
+                {"train/loss": snap["loss"], "train/acc": snap["acc"],
+                 "train/lr": entry["lr"]},
+                step=int(state.step),
             )
         if out_dir is not None and (i + 1) % save_period == 0:
             save_checkpoint(out_dir, state, epoch=start_epoch, name="step_latest")
     if out_dir is not None:
         save_checkpoint(out_dir, state, epoch=start_epoch, name="epoch_latest")
+        log_json_stats(
+            {"_type": "train_done", "step": int(state.step),
+             **{f"{k}_global": v for k, v in meters.global_avgs().items()}},
+            stats_path,
+        )
+    writer.close()
     return state, history
 
 
@@ -293,10 +326,15 @@ def linear_eval(
     num_steps: int = 200,
     base_lr: float = 1e-2,
     seed: int = 0,
+    log_every: int = 10,
+    stats_path=None,
 ) -> Dict:
     """Train a linear head on frozen features, test with per-video score
     ensembling. Batches: {visual, audio, label, video_index}.
     Returns {top1, top5, history}."""
+    from ..utils.profiling import Meters, log_json_stats
+
+    meters = Meters(window_size=log_every)
     feature_fn = make_feature_fn(backbone_variables, mode)
     head = ClassifyHead(num_classes=num_classes, train=True)
     schedule = lr_schedule("cosine", base_lr, num_steps)
@@ -334,8 +372,15 @@ def linear_eval(
         params, opt_state, loss, acc = head_step(
             params, opt_state, feats, jnp.asarray(batch["label"]), sub
         )
+        meters.add(loss=float(loss), acc=float(acc))
         history.append({"loss": float(loss), "acc": float(acc)})
         steps += 1
+        if steps % log_every == 0:
+            log_json_stats(
+                {"_type": "classify_train_iter", "step": steps,
+                 **meters.snapshot()},
+                stats_path,
+            )
         if steps >= num_steps:
             break
 
@@ -359,9 +404,15 @@ def linear_eval(
         correct1 += int(order[0] == label)
         correct5 += int(label in order[:5])
     n = len(score_sums)
-    return {
+    result = {
         "top1": 100.0 * correct1 / n,
         "top5": 100.0 * correct5 / n,
         "history": history,
         "params": params,
     }
+    log_json_stats(
+        {"_type": "test_epoch", "top1_acc": result["top1"],
+         "top5_acc": result["top5"], "num_videos": n},
+        stats_path,
+    )
+    return result

@@ -131,3 +131,23 @@ class Meters:
 
     def snapshot(self) -> Dict[str, float]:
         return {k: m.get_win_avg() for k, m in self.meters.items()}
+
+    def medians(self) -> Dict[str, float]:
+        return {k: m.get_win_median() for k, m in self.meters.items()}
+
+    def global_avgs(self) -> Dict[str, float]:
+        return {k: m.get_global_avg() for k, m in self.meters.items()}
+
+
+def log_json_stats(stats: Dict, out_path=None, echo: bool = False) -> str:
+    """One json stat line per event (reference ``utils/logging.py:56-68``:
+    ``json_stats: {...}``). Appends to ``out_path`` (jsonl) when given."""
+    import json
+
+    line = json.dumps(stats, sort_keys=True, default=float)
+    if echo:
+        print(f"json_stats: {line}")
+    if out_path is not None:
+        with open(out_path, "a") as f:
+            f.write(line + "\n")
+    return line
