@@ -62,7 +62,7 @@ class FfmpegVideoBackend:
     def detect_shots(self, threshold: float) -> Tuple[List[float], List[float]]:
         out = self._run(
             [self.ffmpeg, "-i", self.path, "-vf", f"scdet=threshold={threshold}",
-             "-f", "null", " - 2>&1"]
+             "-f", "null", "-"]
         )
         lines = [x.strip() for x in out.splitlines() if x.startswith("[scdet")]
         boundaries = [float(x.split(":")[-1]) for x in lines]
@@ -89,7 +89,7 @@ class FfmpegVideoBackend:
         out = self._run(
             [self.ffmpeg, "-i", str(path_a), "-i", str(path_b), "-hide_banner",
              "-filter_complex", "signature=detectmode=full:nb_inputs=2",
-             "-f", "null", " - 2>&1"]
+             "-f", "null", "-"]
         )
         lines = [
             x for x in out.split("\n")

@@ -168,7 +168,13 @@ class HeuristicLanguageDetector:
         }
         best, score = max(votes.items(), key=lambda kv: kv[1])
         if score == 0:
-            return "en" if counts["latin"] > 0 else "other"
+            # zero marker hits: UNKNOWN, not "en" — defaulting Latin text to
+            # English would under-filter (Italian/Dutch/Turkish etc. would
+            # pass the major-language gate the reference's fastText rejects).
+            # This makes the heuristic STRICTER than fastText on short
+            # marker-free titles; parity runs should use the fastText
+            # backend (docs delta: round-1 VERDICT weak #6).
+            return "other"
         return best
 
     def filter_major(self, text: str) -> bool:
