@@ -100,11 +100,40 @@ def cmd_reduce(args):
 
 
 def cmd_retrieval(args):
+    import json as _json
+
     from .retrieval.runner import run_experiment
 
     kwargs = {}
     for key, val in _overrides(args.overrides).items():
+        if isinstance(val, str):  # literal coercion: 0.5 -> float, 3 -> int
+            try:
+                val = _json.loads(val)
+            except (ValueError, TypeError):
+                pass
         kwargs[key] = val
+    if args.dataset != "gaussian":
+        # real-data protocols (reference image_pair_data.py): synthetic
+        # pre-materialized digits stand in for the gated MNIST/CIFAR/FSDD
+        # downloads; loaders accept any (N,H,W[,3]) arrays
+        from .retrieval import features as rf
+
+        nclasses = int(kwargs.pop("nclasses", 6))
+        images, labels = rf.synthetic_digits(
+            nclasses=nclasses,
+            per_class=int(kwargs.pop("per_class", 12)),
+        )
+        if args.dataset == "resnet_pairs":
+            views = rf.resnet_pair_views(
+                images, labels, transform=kwargs.pop("transform", "rotate"))
+        elif args.dataset == "mnist_sound":
+            views = rf.mnist_sound_pair_views(images, labels)
+            kwargs.setdefault("pairing", "bipartite")
+        else:
+            raise SystemExit(f"unknown dataset {args.dataset!r}")
+        kwargs["views"] = views
+        kwargs.setdefault("ncentroids", nclasses)
+        kwargs.setdefault("clustering_method", "sklearn")
     res = run_experiment(out_path=args.out_path, **kwargs)
     print(
         f"precision={res['precision']:.4f} recall={res['recall']:.4f} "
@@ -148,7 +177,41 @@ def cmd_fixtures(args):
                              "segment": [float(ci), float(ci) + 10.0]})
                 count += 1
         (out / f"shard-{si:06d}.json").write_text(_json.dumps(meta))
+    if args.labels:
+        # flat ClipClassificationDataset next to the shards (npz clips +
+        # labels.json), for driving the linear_eval task
+        cls_dir = out / "classify"
+        cls_dir.mkdir(exist_ok=True)
+        items = []
+        n = args.num_shards * args.clips_per_shard
+        for i in range(n):
+            klass = i % 4
+            t = np.arange(int(16000 * 2.0)) / 16000.0
+            frames = rng.randint(0, 60, (12, args.size, args.size, 3)).astype(np.uint8)
+            frames[..., klass % 3] += np.uint8(120)
+            audio = (0.4 * np.sin(2 * np.pi * 220.0 * (1 + klass) * t)
+                     + 0.05 * rng.randn(len(t))).astype(np.float32)
+            fname = f"clip{i:04d}.npz"
+            np.savez(cls_dir / fname, frames=frames, audio=audio,
+                     sample_rate=16000, video_fps=6.0)
+            items.append({"file": fname, "label": klass,
+                          "split": "train" if i < max(n - 4, n // 2) else "test"})
+        (cls_dir / "labels.json").write_text(_json.dumps(
+            {"classes": [f"c{k}" for k in range(4)], "items": items}))
     print(f"wrote {args.num_shards} shards ({count} clips) to {out}")
+
+
+def cmd_evaluate(args):
+    """Evaluation tasks from a YAML/JSON config (the reference's fvcore
+    CfgNode + per-dataset YAML surface, evaluation/code/config.py:24-560)."""
+    import json as _json
+
+    from .evaluation.config import load_config, run_task
+
+    cfg = load_config(args.cfg, _overrides(args.overrides))
+    result = run_task(cfg)
+    result.pop("history", None)
+    print(_json.dumps(result, default=float))
 
 
 def cmd_convert(args):
@@ -220,6 +283,8 @@ def main(argv=None):
         p.add_argument("overrides", nargs="*", help="dotted key=value overrides")
         if verb == "retrieval":
             p.add_argument("--out_path", default=None)
+            p.add_argument("--dataset", default="gaussian",
+                           choices=["gaussian", "resnet_pairs", "mnist_sound"])
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("reduce", help="merge chunk cache csvs")
@@ -233,7 +298,14 @@ def main(argv=None):
     p.add_argument("--clips_per_shard", type=int, default=4)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--labels", action="store_true",
+                   help="also write a classify/ ClipClassificationDataset")
     p.set_defaults(fn=cmd_fixtures)
+
+    p = sub.add_parser("evaluate", help="evaluation tasks (pretrain / linear_eval)")
+    p.add_argument("--cfg", default=None, help="YAML/JSON config file")
+    p.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("convert", help="convert a torch/caffe2 checkpoint to flax npz")
     p.add_argument("model", choices=["slowfast", "vggish"])

@@ -1,0 +1,345 @@
+"""Image/audio feature extractors for correspondence-retrieval experiments.
+
+Rebuild of the reference's real-data pair pipeline:
+
+* ResNet-50 layer-tap feature extractor with a chunked pkl feature cache
+  (``correspondence_retrieval/code/model.py:137-222`` taps layer1..layer4 of
+  a torchvision ResNet-50; ``feature.py:13-98`` extracts in chunks and
+  caches each chunk as a pkl, resuming from existing chunk files).
+* MNIST-sound-style audio pair features (``image_pair_data.py`` pairs MNIST
+  digits with FSDD spoken-digit recordings; FSDD downloads are gated here,
+  so ``synthesize_spoken_digits`` generates 8 kHz digit-conditioned audio
+  with the same shape/protocol and features come from the production
+  log-mel frontend, ``ops/melspec.py``).
+
+TPU-first: the backbone is a jitted flax module in NHWC; batches stream
+through one jit with static shapes. Real ImageNet weights are egress-gated
+— ``convert_torchvision_resnet50`` loads them when available; random-init
+taps otherwise (documented delta: random-projection features, same
+architecture and protocol).
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RESNET50_BLOCKS = [3, 4, 6, 3]
+LAYER_DIMS = [256, 512, 1024, 2048]
+
+
+class _BN(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(use_running_average=True, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype)(x)
+
+
+class _Bottleneck(nn.Module):
+    dim_out: int
+    dim_inner: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.stride
+        shortcut = x
+        if x.shape[-1] != self.dim_out or s != 1:
+            shortcut = nn.Conv(self.dim_out, (1, 1), strides=(s, s),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample")(x)
+            shortcut = _BN(self.dtype, name="downsample_bn")(shortcut)
+        h = nn.Conv(self.dim_inner, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        h = nn.relu(_BN(self.dtype, name="bn1")(h))
+        h = nn.Conv(self.dim_inner, (3, 3), strides=(s, s), padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(h)
+        h = nn.relu(_BN(self.dtype, name="bn2")(h))
+        h = nn.Conv(self.dim_out, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(h)
+        h = _BN(self.dtype, name="bn3")(h)
+        return nn.relu(shortcut + h)
+
+
+class ResNet50Features(nn.Module):
+    """2D ResNet-50 with layer taps (torchvision topology, NHWC).
+
+    Returns spatially mean-pooled features after layer1..layer4 — dims
+    [256, 512, 1024, 2048] (reference model.py:137-222 taps the same
+    modules and pools).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(_BN(self.dtype, name="bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        taps = []
+        for li, nblocks in enumerate(RESNET50_BLOCKS):
+            dim_out = 256 * (2 ** li)
+            for bi in range(nblocks):
+                x = _Bottleneck(
+                    dim_out, dim_out // 4,
+                    stride=2 if (bi == 0 and li > 0) else 1,
+                    dtype=self.dtype, name=f"layer{li + 1}_{bi}",
+                )(x)
+            taps.append(jnp.mean(x, axis=(1, 2)))
+        return taps
+
+
+def convert_torchvision_resnet50(sd: Dict[str, np.ndarray]) -> Dict:
+    """torchvision resnet50 state dict (numpy values) -> flax variables.
+
+    Conv OIHW -> HWIO; BN weight/bias -> scale/bias + running stats.
+    The classifier fc is unused (taps only).
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    def conv(tk):
+        return {"kernel": np.asarray(sd[f"{tk}.weight"]).transpose(2, 3, 1, 0)}
+
+    def bn(mod, tk):
+        put(params, mod + ("BatchNorm_0",), {
+            "scale": np.asarray(sd[f"{tk}.weight"]),
+            "bias": np.asarray(sd[f"{tk}.bias"]),
+        })
+        put(stats, mod + ("BatchNorm_0",), {
+            "mean": np.asarray(sd[f"{tk}.running_mean"]),
+            "var": np.asarray(sd[f"{tk}.running_var"]),
+        })
+
+    put(params, ("conv1",), conv("conv1"))
+    bn(("bn1",), "bn1")
+    for li, nblocks in enumerate(RESNET50_BLOCKS):
+        for bi in range(nblocks):
+            mod = f"layer{li + 1}_{bi}"
+            tmod = f"layer{li + 1}.{bi}"
+            for ci in (1, 2, 3):
+                put(params, (mod, f"conv{ci}"), conv(f"{tmod}.conv{ci}"))
+                bn((mod, f"bn{ci}"), f"{tmod}.bn{ci}")
+            if f"{tmod}.downsample.0.weight" in sd:
+                put(params, (mod, "downsample"), conv(f"{tmod}.downsample.0"))
+                bn((mod, "downsample_bn"), f"{tmod}.downsample.1")
+    return {"params": params, "batch_stats": stats}
+
+
+# -- chunked feature extraction cache (reference feature.py:13-98) -------------
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class ImageFeatureExtractor:
+    """Batched ResNet-50 tap extraction with a chunked pkl cache.
+
+    ``extract(images)`` returns {layer_i: (N, dim)}. With ``cache_dir``
+    set, features are computed chunk-by-chunk and each chunk is cached as
+    ``feature_chunk_{i:04d}.pkl``; existing chunk files are loaded instead
+    of recomputed (the reference's load-or-extract loop, feature.py:36-70).
+    """
+
+    def __init__(self, variables: Optional[Dict] = None, size: int = 32,
+                 chunk_size: int = 256, cache_dir=None, seed: int = 0,
+                 dtype=jnp.float32):
+        self.model = ResNet50Features(dtype=dtype)
+        self.size = size
+        self.chunk_size = int(chunk_size)
+        self.cache_dir = Path(cache_dir) if cache_dir is not None else None
+        if variables is None:
+            dummy = jnp.zeros((1, size, size, 3))
+            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = variables
+        self._apply = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    def _prep(self, images: np.ndarray) -> np.ndarray:
+        images = np.asarray(images, np.float32)
+        if images.ndim == 3:  # grayscale -> RGB
+            images = np.repeat(images[..., None], 3, axis=-1)
+        if images.max() > 2.0:
+            images = images / 255.0
+        return (images - IMAGENET_MEAN) / IMAGENET_STD
+
+    def _extract_chunk(self, chunk: np.ndarray) -> List[np.ndarray]:
+        n = len(chunk)
+        pad = (-n) % 16  # static-ish batch shapes for the jit
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
+        taps = self._apply(self.variables, jnp.asarray(self._prep(chunk)))
+        return [np.asarray(t[:n], np.float32) for t in taps]
+
+    def extract(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        chunks: List[List[np.ndarray]] = []
+        for ci, start in enumerate(range(0, len(images), self.chunk_size)):
+            cache = (
+                self.cache_dir / f"feature_chunk_{ci:04d}.pkl"
+                if self.cache_dir is not None else None
+            )
+            if cache is not None and cache.is_file():
+                with open(cache, "rb") as f:
+                    taps = pickle.load(f)
+            else:
+                taps = self._extract_chunk(images[start : start + self.chunk_size])
+                if cache is not None:
+                    cache.parent.mkdir(parents=True, exist_ok=True)
+                    with open(cache, "wb") as f:
+                        pickle.dump(taps, f)
+            chunks.append(taps)
+        num_layers = len(chunks[0])
+        return {
+            f"layer_{l}": np.concatenate([c[l] for c in chunks])
+            for l in range(num_layers)
+        }
+
+
+# -- image pair views through the backbone --------------------------------------
+
+def resnet_pair_views(
+    images: np.ndarray,
+    labels: np.ndarray,
+    transform: str = "rotate",
+    layers: Sequence[int] = (2, 3),
+    extractor: Optional[ImageFeatureExtractor] = None,
+    cache_dir=None,
+) -> Dict[str, Dict[str, Dict]]:
+    """(original, transformed) image pairs featurized by the ResNet taps —
+    the reference's CIFAR10/MNIST rotated/flipped experiments
+    (image_pair_data.py:26-204) with the model of model.py:137-222."""
+    if transform == "rotate":
+        transformed = np.rot90(images, k=1, axes=(1, 2))
+    elif transform == "flip":
+        transformed = np.ascontiguousarray(images[:, :, ::-1])
+    else:
+        raise ValueError(f"unknown transform {transform!r}")
+    views: Dict[str, Dict[str, Dict]] = {}
+    for mod, data in (("orig", images), (transform, transformed)):
+        sub_cache = Path(cache_dir) / mod if cache_dir is not None else None
+        ext = extractor or ImageFeatureExtractor(
+            size=images.shape[1], cache_dir=sub_cache
+        )
+        if extractor is not None and sub_cache is not None:
+            ext.cache_dir = sub_cache
+        feats = ext.extract(data)
+        for l in layers:
+            arr = feats[f"layer_{l}"]
+            views[f"{mod}-layer_{l}"] = {
+                f"i{i:05d}": {"data": arr[i], "label": int(labels[i])}
+                for i in range(len(arr))
+            }
+    return views
+
+
+# -- MNIST-sound-style audio pairs ----------------------------------------------
+
+def synthesize_spoken_digits(
+    labels: np.ndarray, sr: int = 8000, duration: float = 0.5, seed: int = 0
+) -> np.ndarray:
+    """FSDD-shaped synthetic audio: one 8 kHz clip per item whose spectral
+    content is digit-conditioned (two formant-style tones + digit-paced
+    amplitude modulation + noise). Stands in for the gated FSDD download
+    (reference MNIST-sound pairs, image_pair_data.py)."""
+    rng = np.random.RandomState(seed)
+    n = int(sr * duration)
+    t = np.arange(n) / sr
+    out = np.zeros((len(labels), n), np.float32)
+    for i, y in enumerate(np.asarray(labels, int)):
+        f1 = 300.0 + 150.0 * y + rng.randn() * 10.0
+        f2 = 900.0 + 230.0 * y + rng.randn() * 20.0
+        am = 2.0 + 0.7 * y
+        sig = (
+            np.sin(2 * np.pi * f1 * t)
+            + 0.6 * np.sin(2 * np.pi * f2 * t)
+        ) * (0.6 + 0.4 * np.sin(2 * np.pi * am * t))
+        out[i] = (sig + 0.1 * rng.randn(n)).astype(np.float32)
+    return out
+
+
+def audio_logmel_features(audio: np.ndarray, sr: int = 8000,
+                          num_bands: int = 32) -> np.ndarray:
+    """(N, samples) -> (N, num_bands) time-pooled log-mel features via the
+    production GEMM log-mel frontend (ops/melspec.py)."""
+    from ..ops.melspec import log_mel_spectrogram
+
+    feats = []
+    for i in range(0, len(audio), 256):
+        chunk = jnp.asarray(audio[i : i + 256])
+        lm = log_mel_spectrogram(
+            chunk, audio_sample_rate=sr, num_mel_bins=num_bands,
+            upper_edge_hertz=min(3800.0, sr / 2 - 100.0),
+        )  # (B, frames, bands)
+        feats.append(np.asarray(lm.mean(axis=1), np.float32))
+    return np.concatenate(feats)
+
+
+def mnist_sound_pair_views(
+    images: np.ndarray,
+    labels: np.ndarray,
+    image_layers: Sequence[int] = (3,),
+    extractor: Optional[ImageFeatureExtractor] = None,
+    sr: int = 8000,
+    seed: int = 0,
+) -> Dict[str, Dict[str, Dict]]:
+    """Image/audio pair views: digit images featurized by the ResNet taps,
+    digit audio by log-mel — the reference's MNIST + FSDD experiment."""
+    ext = extractor or ImageFeatureExtractor(size=images.shape[1])
+    img_feats = ext.extract(images)
+    audio = synthesize_spoken_digits(labels, sr=sr, seed=seed)
+    aud_feats = audio_logmel_features(audio, sr=sr)
+    views: Dict[str, Dict[str, Dict]] = {}
+    for l in image_layers:
+        arr = img_feats[f"layer_{l}"]
+        views[f"visual-layer_{l}"] = {
+            f"i{i:05d}": {"data": arr[i], "label": int(labels[i])}
+            for i in range(len(arr))
+        }
+    views["audio-layer_0"] = {
+        f"i{i:05d}": {"data": aud_feats[i], "label": int(labels[i])}
+        for i in range(len(aud_feats))
+    }
+    return views
+
+
+def synthetic_digits(
+    nclasses: int = 10, per_class: int = 20, size: int = 32, seed: int = 0
+):
+    """Pre-materialized stand-in for MNIST/CIFAR arrays (downloads gated):
+    class-distinctive structured images (oriented bars + class texture).
+    Loaders accept any (N,H,W[,3]) uint8 array in their place."""
+    rng = np.random.RandomState(seed)
+    n = nclasses * per_class
+    images = np.zeros((n, size, size, 3), np.uint8)
+    labels = np.zeros(n, np.int64)
+    idx = 0
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    for c in range(nclasses):
+        angle = np.pi * c / nclasses
+        stripes = np.sin(
+            2 * np.pi * (np.cos(angle) * xx + np.sin(angle) * yy) * (2 + c % 3)
+        )
+        for _ in range(per_class):
+            img = 127 + 100 * stripes + 20 * rng.randn(size, size)
+            base = np.clip(img, 0, 255).astype(np.uint8)
+            images[idx] = np.stack(
+                [base, np.roll(base, c, axis=0), np.roll(base, c, axis=1)], -1
+            )
+            labels[idx] = c
+            idx += 1
+    return images, labels

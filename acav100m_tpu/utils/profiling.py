@@ -148,6 +148,9 @@ def log_json_stats(stats: Dict, out_path=None, echo: bool = False) -> str:
     if echo:
         print(f"json_stats: {line}")
     if out_path is not None:
+        from pathlib import Path
+
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         with open(out_path, "a") as f:
             f.write(line + "\n")
     return line

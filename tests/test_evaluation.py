@@ -195,6 +195,54 @@ class TestTraining:
         assert res["top1"] > 60.0
 
 
+class TestConfigSurface:
+    """YAML/JSON config + dotted overrides -> task dispatch (the
+    reference's fvcore CfgNode surface, evaluation/code/config.py:24-560)."""
+
+    def test_yaml_plus_overrides(self, tmp_path):
+        from acav100m_tpu.evaluation.config import load_config
+
+        cfg_file = tmp_path / "c.yaml"
+        cfg_file.write_text(
+            "task: pretrain\ntrain:\n  num_steps: 7\ndata:\n  crop: 48\n"
+        )
+        cfg = load_config(cfg_file, {"train.base_lr": "0.5"})
+        assert cfg.task == "pretrain"
+        assert cfg.train.num_steps == 7
+        assert cfg.data.crop == 48
+        assert cfg.train.base_lr == 0.5
+        assert cfg.eval.mode == "multimodal"  # defaults survive
+
+    def test_unknown_key_rejected(self, tmp_path):
+        from acav100m_tpu.evaluation.config import load_config
+
+        cfg_file = tmp_path / "c.yaml"
+        cfg_file.write_text("solver:\n  lr: 1.0\n")
+        with pytest.raises(Exception):
+            load_config(cfg_file)
+
+    def test_run_task_pretrain_from_shards(self, tmp_path):
+        from acav100m_tpu.evaluation.config import load_config, run_task
+        from .synthetic import make_shards
+
+        make_shards(tmp_path / "clips", num_shards=1, clips_per_shard=4,
+                    size=CROP)
+        cfg = load_config(None, {
+            "task": "pretrain",
+            "data.path": str(tmp_path / "clips" / "shard-000000.tar"),
+            "data.batch_size": "2",
+            "data.num_frames": str(NUM_FRAMES),
+            "data.crop": str(CROP),
+            "train.num_steps": "2",
+            "train.log_every": "1",
+            "checkpoint.dir": str(tmp_path / "run"),
+        })
+        result = run_task(cfg)
+        assert result["task"] == "pretrain"
+        assert result["steps"] == 2
+        assert (tmp_path / "run" / "epoch_latest.ckpt").is_file()
+
+
 class TestFullEvalChain:
     """End-to-end eval task chain (VERDICT round-1 task 9): pretrain ->
     preemptible ckpt -> head-strip surgery -> linear eval over a
