@@ -233,6 +233,63 @@ def _pooled_stream(
         q.close()
 
 
+def empty_batch_like(batch: Dict) -> Dict:
+    """An all-masked batch with the same array shapes (a lock-step no-op)."""
+    out = {}
+    for key, val in batch.items():
+        if key == "batch_mask":
+            out[key] = np.zeros_like(val)
+        elif isinstance(val, np.ndarray):
+            out[key] = np.zeros_like(val)
+        elif isinstance(val, list):
+            out[key] = ["" if isinstance(v, str) else 0 for v in val]
+        else:
+            out[key] = val
+    return out
+
+
+def empty_batch(batch_size: int, num_frames: int = 32, size: int = 256,
+                audio_len: int = 160000) -> Dict:
+    """An all-masked batch built from config shapes (for ranks whose local
+    loader yields nothing but that must still step with the collective)."""
+    return {
+        "filename": [""] * batch_size,
+        "shard_name": [""] * batch_size,
+        "shard_size": [0] * batch_size,
+        "batch_mask": np.zeros(batch_size, bool),
+        "frames": np.zeros((batch_size, num_frames, size, size, 3), np.uint8),
+        "audio": np.zeros((batch_size, audio_len), np.float32),
+        "valid_samples": np.full((batch_size,), audio_len, np.int32),
+    }
+
+
+def pad_to_length(batches: Iterable[Dict], num_batches: int,
+                  template: Optional[Dict] = None) -> Iterator[Dict]:
+    """Yield ``batches``, then all-masked padding up to ``num_batches``.
+
+    The lock-step half of the reference's ``ResizedDataset`` +
+    ``get_length`` contract (``mps/distributed.py:444-461``): under a
+    multi-host mesh every host must invoke the jitted step the same number
+    of times or the program deadlocks; hosts whose shards run short step
+    through masked no-op batches instead.
+    """
+    n = 0
+    last = None
+    for b in batches:
+        last = b
+        n += 1
+        yield b
+    pad = empty_batch_like(last) if last is not None else template
+    while n < num_batches:
+        if pad is None:
+            raise ValueError(
+                "pad_to_length needs a template batch when the local loader "
+                "is empty"
+            )
+        yield pad
+        n += 1
+
+
 def make_loader(
     shard_paths: Sequence,
     metas: Dict,
@@ -243,6 +300,8 @@ def make_loader(
     prefetch: int = 2,
     num_workers: int = 0,
     buffer_samples: int = 32,
+    pad_to_batches: Optional[int] = None,
+    pad_template: Optional[Dict] = None,
 ) -> Iterable[Dict]:
     """Batched clip loader.
 
@@ -264,6 +323,8 @@ def make_loader(
     else:
         ds = TarShardDataset(shard_paths, metas, skip_lists, decoder, prepare)
         batches = batched(ds, batch_size)
+    if pad_to_batches is not None:
+        batches = pad_to_length(batches, pad_to_batches, pad_template)
     if prefetch:
         return Prefetcher(batches, depth=prefetch)
     return batches

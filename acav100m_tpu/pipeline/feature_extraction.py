@@ -45,7 +45,7 @@ DEFAULTS = {
     },
     "data": {
         "batch_size": 16,
-        "media": {"path": None, "num_frames": 32},
+        "media": {"path": None, "num_frames": 32, "size": 256},
         "output": {"path": "output", "shard_ok_ratio": 0.99},
         "decoder": "npz",
     },
@@ -56,6 +56,13 @@ DEFAULTS = {
         "discard_shards": False,
         "dtype": "float32",  # 'bfloat16' runs the conv stacks in bf16
         "num_workers": 0,  # decode worker processes (0 = in-process)
+        # multi-host lock-step: pad every rank's loader to the global
+        # max iteration count (reference get_length semantics)
+        "equalize_length": False,
+        # blocked-T schedule for the SlowFast fast pathway (5 ints,
+        # s1..s5); None/empty = canonical layout. Bit-identical math —
+        # see models/slowfast.py _blocked_temporal_kernel.
+        "fast_block": None,
     },
     "acav": {
         "duration": 10,
@@ -116,7 +123,13 @@ def build_models(cfg, key: Optional[jax.Array] = None):
         kv, ka = jax.random.split(key)
         for name in cfg.models:
             cls = get_model(name)
-            model = cls(dtype=dtype)
+            if getattr(cls, "media_type", None) == "video" and (
+                cfg.computation.fast_block
+            ):
+                model = cls(dtype=dtype,
+                            fast_block=tuple(cfg.computation.fast_block))
+            else:
+                model = cls(dtype=dtype)
             models[name] = model
             if model.media_type == "video":
                 # init at a small spatial size: conv/BN param shapes are
@@ -199,10 +212,35 @@ def run_extraction(cfg, decoder=None, mesh=None, models=None, params=None):
         skip_shorter_seconds=skip_secs,
     )
 
+    # multi-host lock-step: under a global mesh every host must invoke the
+    # jitted step the same number of times (reference ResizedDataset +
+    # get_length, mps/distributed.py:444-461). The global iteration count
+    # is computed from ALL shards' metadata — deterministic and identical
+    # on every rank — and short ranks pad with masked no-op batches.
+    batch_size = cfg.data.batch_size or 16
+    total = cfg.computation.total or 1
+    pad_to_batches = None
+    pad_template = None
+    if cfg.computation.equalize_length and total > 1:
+        from ..data.tar_dataset import empty_batch
+        from ..utils.shards import get_length
+
+        metas_all, _ = load_metadata(all_shards)
+        sizes_all = [len(metas_all[Path(p).stem]) for p in all_shards
+                     if Path(p).stem in metas_all]
+        pad_to_batches = get_length(
+            sizes_all, batch_size, cfg.computation.num_workers or 0, total
+        ) // batch_size
+        pad_template = empty_batch(
+            batch_size, num_frames=cfg.data.media.num_frames or 32,
+            size=cfg.data.media.size or 256,
+        )
+
     loader = make_loader(
-        mine, metas, cfg.data.batch_size or 16,
+        mine, metas, batch_size,
         skip_lists=skip_lists, decoder=decoder, prepare=prepare,
         num_workers=cfg.computation.num_workers or 0,
+        pad_to_batches=pad_to_batches, pad_template=pad_template,
     )
 
     # per-shard accumulation: rows[shard][stem] = feature row

@@ -173,3 +173,74 @@ class TestFaultTolerance:
         # member is covered above; here lower the ratio and verify flush
         saved = fe.run_extraction(cfg)
         assert saved, "complete shard must save regardless of ratio"
+
+
+class TestLockStep:
+    """Multi-host lock-step iteration equalization (reference get_length +
+    ResizedDataset, mps/distributed.py:444-461)."""
+
+    def test_pad_to_length_pads_with_masked_batches(self):
+        from acav100m_tpu.data.tar_dataset import empty_batch, pad_to_length
+
+        real = [
+            {
+                "filename": ["a", "b"],
+                "shard_name": ["s", "s"],
+                "shard_size": [2, 2],
+                "batch_mask": np.array([True, True]),
+                "frames": np.ones((2, 4, 8, 8, 3), np.uint8),
+            }
+        ]
+        out = list(pad_to_length(iter(real), 3))
+        assert len(out) == 3
+        assert out[0]["batch_mask"].all()
+        for b in out[1:]:
+            assert not b["batch_mask"].any()
+            assert b["frames"].shape == real[0]["frames"].shape
+
+        # empty local loader falls back to the config-shaped template
+        tmpl = empty_batch(2, num_frames=4, size=8, audio_len=16)
+        out = list(pad_to_length(iter([]), 2, tmpl))
+        assert len(out) == 2 and not out[0]["batch_mask"].any()
+        with pytest.raises(ValueError):
+            list(pad_to_length(iter([]), 1))
+
+    def test_equalized_extraction_steps_in_lockstep(self, tmp_path, monkeypatch):
+        """3 shards over 2 ranks: rank 1 has fewer clips but both ranks
+        invoke the jitted step the same number of times, and outputs are
+        unaffected by the masked padding batches."""
+        spec = make_shards(tmp_path / "clips5", num_shards=3,
+                           clips_per_shard=2, size=16, num_frames=4)
+        calls = {}
+        real_make = fe.make_extract_fn
+
+        def counting_make(models, mesh=None):
+            fn = real_make(models, mesh)
+
+            def wrapped(*a, **k):
+                calls[id(wrapped)] = calls.get(id(wrapped), 0) + 1
+                return fn(*a, **k)
+
+            return wrapped
+
+        monkeypatch.setattr(fe, "make_extract_fn", counting_make)
+        counts, totals = [], 0
+        for index in range(2):
+            calls.clear()
+            cfg = fe.get_config(
+                {
+                    "data.media.path": spec,
+                    "data.output.path": str(tmp_path / f"feats_r{index}"),
+                    "data.batch_size": 2,
+                    "data.media.num_frames": 4,
+                    "data.media.size": 16,
+                    "computation.index": index,
+                    "computation.total": 2,
+                    "computation.equalize_length": True,
+                }
+            )
+            saved = fe.run_extraction(cfg)
+            counts.append(sum(calls.values()))
+            totals += len(saved)
+        assert counts[0] == counts[1], counts
+        assert totals == 3  # every shard produced by exactly one rank
