@@ -181,7 +181,12 @@ def main():
     # -- stage 4: fused SlowFast+VGGish extraction ---------------------------
     # bf16 conv stacks: the production extraction config (features are cast
     # back to fp32 on save; parity runs can set computation.dtype=float32)
-    cfg = get_config({"computation.dtype": "bfloat16"})
+    # bf16 conv stacks + blocked-T fast pathway (bit-identical rewrite,
+    # measured 3.12 -> 2.52 ms/clip on v5e; models/slowfast.py)
+    cfg = get_config({
+        "computation.dtype": "bfloat16",
+        "computation.fast_block": [4, 4, 4, 4, 4],
+    })
     models, params = build_models(cfg, key=jax.random.PRNGKey(0))
     extract = make_extract_fn(models)
     frames = jnp.asarray(

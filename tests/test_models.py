@@ -227,13 +227,83 @@ class TestSpaceToDepthStem:
         slow = jnp.asarray(rng.randn(1, 2, 32, 32, 3).astype(np.float32))
         fast = jnp.asarray(rng.randn(1, 8, 32, 32, 3).astype(np.float32))
         plain = SlowFastBackbone(s2d=False)
-        fast_bb = SlowFastBackbone(s2d=True)
         variables = plain.init(jax.random.PRNGKey(0), slow, fast)
         t1 = plain.apply(variables, slow, fast)
-        t2 = fast_bb.apply(variables, slow, fast)
-        for a, b in zip(t1, t2):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=1e-4)
+        for bb in (SlowFastBackbone(s2d=True),
+                   SlowFastBackbone(fast_block=(8, 8, 4, 4, 2)),
+                   SlowFastBackbone(fast_block=(4, 4, 4, 4, 4)),
+                   SlowFastBackbone(fast_block=(8, 4, 1, 2, 1))):
+            t2 = bb.apply(variables, slow, fast)
+            for a, b in zip(t1, t2):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-3, atol=1e-4)
+
+    def test_fold_norm_matches_explicit_normalize(self):
+        """Folding (x/255-mean)/std into the stem kernels + bias is the
+        same computation to fp rounding, on raw uint8 frames."""
+        from acav100m_tpu.models.slowfast import LayerSlowFast
+
+        rng = np.random.RandomState(7)
+        frames = jnp.asarray(rng.randint(0, 255, (1, 32, 32, 32, 3)),
+                             jnp.uint8)
+        ref = LayerSlowFast(fold_norm=False)
+        v = ref.init(jax.random.PRNGKey(0), num_frames=32, size=32)
+        t1 = ref.apply(v, frames)
+        for model in (LayerSlowFast(fold_norm=True),
+                      LayerSlowFast(fold_norm=True,
+                                    fast_block=(8, 8, 4, 4, 2))):
+            t2 = model.apply(v, frames)
+            for a, b in zip(t1, t2):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-3, atol=2e-4)
+
+    def test_blocked_backbone_params_match_canonical(self):
+        """The blocked modules declare the identical parameter tree, so
+        checkpoints and converters are unaffected by the layout."""
+        from acav100m_tpu.models.slowfast import SlowFastBackbone
+
+        slow = jnp.zeros((1, 2, 16, 16, 3))
+        fast = jnp.zeros((1, 8, 16, 16, 3))
+        v_plain = SlowFastBackbone(s2d=False).init(
+            jax.random.PRNGKey(0), slow, fast)
+        v_blk = SlowFastBackbone(fast_block=(8, 8, 4, 4, 2)).init(
+            jax.random.PRNGKey(0), slow, fast)
+        p1 = jax.tree_util.tree_structure(v_plain)
+        p2 = jax.tree_util.tree_structure(v_blk)
+        assert p1 == p2
+        for a, b in zip(jax.tree_util.tree_leaves(v_plain),
+                        jax.tree_util.tree_leaves(v_blk)):
+            assert a.shape == b.shape
+
+    @pytest.mark.parametrize("kt,T,bt", [(5, 32, 16), (5, 8, 4), (1, 8, 4),
+                                         (5, 8, 8)])
+    def test_tblock_stem_matches_plain(self, kt, T, bt):
+        """Temporal output-block stems (bt output frames stacked as
+        channels) are the same convolution, same params, to fp32 rounding."""
+        from acav100m_tpu.models.slowfast import Stem
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, T, 16, 16, 3).astype(np.float32))
+        plain = Stem(8, kt, s2d=False, t_block=0)
+        tb = Stem(8, kt, t_block=bt)
+        v = plain.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(plain.apply(v, x)), np.asarray(tb.apply(v, x)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_tblock_falls_back_on_unblockable_t(self):
+        from acav100m_tpu.models.slowfast import Stem
+
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(1, 6, 32, 32, 3).astype(np.float32))  # 6 % 4 != 0
+        plain = Stem(8, 5, s2d=False, t_block=0)
+        tb = Stem(8, 5, t_block=4)
+        v = plain.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(plain.apply(v, x)), np.asarray(tb.apply(v, x)),
+            rtol=1e-4, atol=1e-5,
+        )
 
     def test_odd_size_falls_back(self):
         from acav100m_tpu.models.slowfast import Stem
