@@ -685,7 +685,11 @@ class SlowFastBackbone(nn.Module):
             if want != cur:
                 fast = _reblock(fast, cur, want)
                 cur = want
-            if self.pallas_stages and SLOW_TEMP_KERNELS[si + 1] == 1:
+            # stride-1 kt=1 stages only: the fused kernel's polyphase
+            # stride-2 subsampling measured 2.2x SLOWER than XLA on v5e
+            # (51 vs 23 ms for s3_slow) — sublane relayouts dominate
+            if (self.pallas_stages and SLOW_TEMP_KERNELS[si + 1] == 1
+                    and SPATIAL_STRIDES[si] == 1):
                 slow = PallasStage(
                     STAGE_BLOCKS[si], dims_out[si], dims_inner[si],
                     SPATIAL_STRIDES[si], self.dtype,

@@ -63,6 +63,8 @@ DEFAULTS = {
         # s1..s5); None/empty = canonical layout. Bit-identical math —
         # see models/slowfast.py _blocked_temporal_kernel.
         "fast_block": None,
+        # fused Pallas bottleneck stages for stride-1 kt=1 slow stages
+        "pallas_stages": False,
     },
     "acav": {
         "duration": 10,
@@ -124,10 +126,13 @@ def build_models(cfg, key: Optional[jax.Array] = None):
         for name in cfg.models:
             cls = get_model(name)
             if getattr(cls, "media_type", None) == "video" and (
-                cfg.computation.fast_block
+                cfg.computation.fast_block or cfg.computation.pallas_stages
             ):
-                model = cls(dtype=dtype,
-                            fast_block=tuple(cfg.computation.fast_block))
+                model = cls(
+                    dtype=dtype,
+                    fast_block=tuple(cfg.computation.fast_block or ()) or None,
+                    pallas_stages=bool(cfg.computation.pallas_stages),
+                )
             else:
                 model = cls(dtype=dtype)
             models[name] = model

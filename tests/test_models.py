@@ -257,6 +257,26 @@ class TestSpaceToDepthStem:
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=2e-3, atol=2e-4)
 
+    def test_pallas_stage_matches_canonical(self):
+        """The fused Pallas bottleneck stage (interpret mode on CPU) is the
+        canonical s2/s3 slow computation, same parameter tree."""
+        from acav100m_tpu.models.slowfast import SlowFastBackbone
+
+        rng = np.random.RandomState(2)
+        slow = jnp.asarray(rng.randn(1, 2, 16, 16, 3).astype(np.float32))
+        fast = jnp.asarray(rng.randn(1, 8, 16, 16, 3).astype(np.float32))
+        plain = SlowFastBackbone()
+        v = plain.init(jax.random.PRNGKey(0), slow, fast)
+        pl_bb = SlowFastBackbone(pallas_stages=True)
+        v2 = pl_bb.init(jax.random.PRNGKey(0), slow, fast)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v2))
+        t1 = plain.apply(v, slow, fast)
+        t2 = pl_bb.apply(v, slow, fast)
+        for a, b in zip(t1, t2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+
     def test_blocked_backbone_params_match_canonical(self):
         """The blocked modules declare the identical parameter tree, so
         checkpoints and converters are unaffected by the layout."""
