@@ -175,7 +175,10 @@ def main():
     )
 
     rng = np.random.RandomState(0)
-    batch = 64  # big batches saturate the MXU on the low-channel stages
+    # measured on v5e (blocked-T, bf16): 2.59 ms/clip @64, 2.10 @128,
+    # 2.02 @256, 2.03 @384 -> 256 saturates
+    batch = 256
+    e2e_batch = 64  # loader batch for the decode-inclusive path
     num_frames, size, audio_len = 32, 256, 160000
 
     # -- stage 4: fused SlowFast+VGGish extraction ---------------------------
@@ -238,7 +241,9 @@ def main():
     device_only = 1.0 / t_clip
 
     # -- decode-inclusive end-to-end -----------------------------------------
-    host_rates, e2e, h2d_gbps, best_nw, cores = bench_e2e(extract, params, batch)
+    host_rates, e2e, h2d_gbps, best_nw, cores = bench_e2e(
+        extract, params, e2e_batch
+    )
 
     print(
         json.dumps(
