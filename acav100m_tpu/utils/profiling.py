@@ -139,6 +139,18 @@ class Meters:
         return {k: m.get_global_avg() for k, m in self.meters.items()}
 
 
+def get_open_fds() -> int:
+    """Open file descriptors of this process (leak hunting during long
+    extraction runs — reference ``feature_extraction/code/debug.py:1-17``,
+    which shelled out to lsof; /proc is cheaper and dependency-free)."""
+    import os
+
+    try:
+        return len(os.listdir(f"/proc/{os.getpid()}/fd"))
+    except OSError:  # non-procfs platform
+        return -1
+
+
 def log_json_stats(stats: Dict, out_path=None, echo: bool = False) -> str:
     """One json stat line per event (reference ``utils/logging.py:56-68``:
     ``json_stats: {...}``). Appends to ``out_path`` (jsonl) when given."""

@@ -38,3 +38,12 @@ class TestProfiling:
     def test_device_trace_noop(self):
         with device_trace(None):
             pass
+
+
+def test_get_open_fds_counts():
+    from acav100m_tpu.utils.profiling import get_open_fds
+
+    before = get_open_fds()
+    assert before > 0
+    with open("/dev/null") as f:  # noqa: F841
+        assert get_open_fds() == before + 1
