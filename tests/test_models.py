@@ -334,39 +334,3 @@ class TestSpaceToDepthStem:
         v = s2d.init(jax.random.PRNGKey(0), x)
         out = s2d.apply(v, x)  # falls back to the plain conv path
         assert out.shape[-1] == 8
-
-
-class TestPallasStemKernel:
-    """im2col stem kernels (interpret mode) match the canonical convs."""
-
-    def test_slow_stem_conv_matches_xla(self):
-        from acav100m_tpu.ops.pallas.stem_kernel import stem_conv_slow
-
-        rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.randn(1, 2, 32, 32, 3).astype(np.float32))
-        k = jnp.asarray(0.1 * rng.randn(1, 7, 7, 3, 16).astype(np.float32))
-        ref = jax.lax.conv_general_dilated(
-            np.asarray(x).reshape(2, 32, 32, 3), k[0], (2, 2),
-            ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).reshape(1, 2, 16, 16, 16)
-        got = stem_conv_slow(x, k, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
-
-    @pytest.mark.parametrize("bt", [4, 8])
-    def test_fast_stem_conv_matches_xla(self, bt):
-        from acav100m_tpu.ops.pallas.stem_kernel import (
-            stem_conv_fast_blocked,
-        )
-
-        rng = np.random.RandomState(1)
-        x = jnp.asarray(rng.randn(1, 8, 32, 32, 3).astype(np.float32))
-        k = jnp.asarray(0.1 * rng.randn(5, 7, 7, 3, 8).astype(np.float32))
-        ref = jax.lax.conv_general_dilated(
-            x, k, (1, 2, 2), ((2, 2), (3, 3), (3, 3)),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )  # (1, 8, 16, 16, 8)
-        got = stem_conv_fast_blocked(x, k, bt=bt, interpret=True)
-        g = np.asarray(got).reshape(1, 8 // bt, 16, 16, bt, 8)
-        g = g.transpose(0, 1, 4, 2, 3, 5).reshape(1, 8, 16, 16, 8)
-        np.testing.assert_allclose(g, np.asarray(ref), rtol=1e-5, atol=1e-5)
