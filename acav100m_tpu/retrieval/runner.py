@@ -192,10 +192,19 @@ def run_experiment(
 def _set_worker_platform():
     """Grid workers compute on host CPU: many processes sharing one
     accelerator would serialize anyway (and the reference's CPU pool of 50,
-    grid_search.py:25-76, is the shape being ported)."""
+    grid_search.py:25-76, is the shape being ported).
+
+    NB: some TPU platform plugins override ``JAX_PLATFORMS`` at import
+    time (see tests/conftest.py), so the env var alone is not enough —
+    update the config after importing jax, before backend init. Without
+    this, workers can land on a different backend than the parent and
+    produce numerically different clusterings."""
     import os
 
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _grid_worker(payload):

@@ -162,6 +162,65 @@ def bench_e2e(extract, params, batch):
     return host_rates, e2e, h2d_gbps, best_nw, cores
 
 
+def bench_stages(batch=64):
+    """Optional per-stage SlowFast breakdown (ACAV_BENCH_STAGES=1):
+    times each stem/stage/fuse separately at production shapes. ~13 extra
+    compiles — off by default so driver runs stay fast."""
+    import jax
+    import jax.numpy as jnp
+
+    from acav100m_tpu.models.slowfast import (
+        BETA_INV,
+        FAST_TEMP_KERNELS,
+        SLOW_TEMP_KERNELS,
+        SPATIAL_STRIDES,
+        STAGE_BLOCKS,
+        FuseFastToSlow,
+        Stage,
+        Stem,
+    )
+
+    rng = np.random.RandomState(0)
+    dt = jnp.bfloat16
+    out = {}
+
+    def t_of(name, mod, *shapes):
+        xs = [jnp.asarray(rng.randn(*s).astype(np.float32), dt)
+              for s in shapes]
+        v = mod.init(jax.random.PRNGKey(0), *xs)
+        # reduce to a scalar on device: _sync fetches the first output
+        # leaf, which for raw stage outputs would be a GB-scale transfer
+        # on the tunneled dev rig
+        fn = jax.jit(lambda *a: jax.tree_util.tree_map(jnp.sum, mod.apply(v, *a)))
+        out[name] = round(timeit(fn, *xs, iters=6) * 1e3, 2)
+
+    w = 64
+    t_of("s1_slow", Stem(w, SLOW_TEMP_KERNELS[0], dt), (batch, 8, 256, 256, 3))
+    t_of("s1_fast", Stem(w // BETA_INV, FAST_TEMP_KERNELS[0], dt),
+         (batch, 32, 256, 256, 3))
+    dims_out = [w * 4, w * 8, w * 16, w * 32]
+    dims_inner = [w, w * 2, w * 4, w * 8]
+    sizes = [64, 64, 32, 16]
+    slow_cin = [80, 320, 640, 1280]
+    fast_cin = [8, 32, 64, 128]
+    for si in range(4):
+        t_of(f"s{si + 2}_slow", Stage(
+            STAGE_BLOCKS[si], dims_out[si], dims_inner[si],
+            SLOW_TEMP_KERNELS[si + 1], SPATIAL_STRIDES[si], dt),
+            (batch, 8, sizes[si], sizes[si], slow_cin[si]))
+        t_of(f"s{si + 2}_fast", Stage(
+            STAGE_BLOCKS[si], dims_out[si] // BETA_INV,
+            dims_inner[si] // BETA_INV, FAST_TEMP_KERNELS[si + 1],
+            SPATIAL_STRIDES[si], dt),
+            (batch, 32, sizes[si], sizes[si], fast_cin[si]))
+        so = sizes[si] // SPATIAL_STRIDES[si]
+        if si < 3:
+            t_of(f"s{si + 2}_fuse", FuseFastToSlow(dims_out[si] // BETA_INV, dt),
+                 (batch, 8, so, so, dims_out[si]),
+                 (batch, 32, so, so, dims_out[si] // BETA_INV))
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -279,6 +338,11 @@ def main():
                     "device": str(jax.devices()[0]),
                     "extract_batch": batch,
                     "extract_dtype": "bfloat16",
+                    **(
+                        {"per_stage_ms": bench_stages()}
+                        if __import__("os").environ.get("ACAV_BENCH_STAGES")
+                        else {}
+                    ),
                 },
             }
         )
