@@ -134,6 +134,26 @@ def cmd_retrieval(args):
         kwargs["views"] = views
         kwargs.setdefault("ncentroids", nclasses)
         kwargs.setdefault("clustering_method", "sklearn")
+    if args.grid:
+        # option-grid mode (reference grid_search.py over
+        # search_targets/**/*.json); results pickled per config
+        from .retrieval.runner import grid_search, load_option_grid
+
+        jobs = load_option_grid(args.grid)
+        for job in jobs:
+            for k, v in kwargs.items():
+                if k != "views":
+                    job.setdefault(k, v)
+        results = grid_search(
+            job_kwargs=jobs, out_dir=args.out_path,
+            views=kwargs.get("views"),
+        )
+        for res in results:
+            print(
+                f"{res['config']}: precision={res['precision']:.4f} "
+                f"recall={res['recall']:.4f} f1={res['f1']:.4f}"
+            )
+        return
     res = run_experiment(out_path=args.out_path, **kwargs)
     print(
         f"precision={res['precision']:.4f} recall={res['recall']:.4f} "
@@ -285,6 +305,9 @@ def main(argv=None):
             p.add_argument("--out_path", default=None)
             p.add_argument("--dataset", default="gaussian",
                            choices=["gaussian", "resnet_pairs", "mnist_sound"])
+            p.add_argument("--grid", default=None,
+                           help="option-grid json (reference "
+                                "search_targets format or {kwarg: [values]})")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("reduce", help="merge chunk cache csvs")

@@ -212,27 +212,94 @@ def _grid_worker(payload):
     return run_experiment(views=views, out_path=out_path, **kwargs)
 
 
-def grid_search(option_grid: Dict[str, Sequence], out_dir=None,
+# reference grid-json key spellings -> run_experiment kwargs
+# (correspondence_retrieval/code/grid_search.py + args.py:4-61)
+REFERENCE_KEY_ALIASES = {
+    "cluster_pairing": "pairing",
+    "clustering_func_type": "clustering_method",
+    "measure_type": "measure",
+    "optimization": "optimizer",
+    "nclusters": "ncentroids",
+}
+# reference clustering_func_type values -> our method names
+_CLUSTERING_ALIASES = {"sgd_kmeans": "sgd", "faiss_kmeans": "sklearn",
+                       "scipy_kmeans": "sklearn++", "pca": "pca"}
+
+
+def load_option_grid(path) -> List[Dict]:
+    """Parse a grid json into a list of per-job kwargs.
+
+    Accepts both formats:
+    * the reference's ``search_targets/**/*.json``: a LIST of option
+      groups, each a list of dicts — the grid is the cartesian product of
+      one dict per group, merged (``grid_search.py:104-140``). Keys are
+      translated through ``REFERENCE_KEY_ALIASES``; keys with no
+      counterpart here are dropped with a warning.
+    * a DICT of ``{kwarg: [values...]}`` (this package's native format).
+    """
+    import inspect
+    import json
+    import warnings
+
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        keys = sorted(data)
+        return [dict(zip(keys, combo))
+                for combo in itertools.product(*[data[k] for k in keys])]
+    known = set(inspect.signature(run_experiment).parameters)
+    jobs = []
+    dropped = set()
+    for combo in itertools.product(*data):
+        merged: Dict = {}
+        for d in combo:
+            merged.update(d)
+        kwargs: Dict = {}
+        for k, v in merged.items():
+            k = REFERENCE_KEY_ALIASES.get(k, k)
+            if k == "clustering_method":
+                v = _CLUSTERING_ALIASES.get(v, v)
+            if k in known:
+                kwargs[k] = v
+            else:
+                dropped.add(k)
+        jobs.append(kwargs)
+    if dropped:
+        warnings.warn(
+            f"grid keys with no counterpart here were dropped: {sorted(dropped)}"
+        )
+    return jobs
+
+
+def grid_search(option_grid: Optional[Dict[str, Sequence]] = None,
+                out_dir=None,
                 views: Optional[Dict] = None,
-                num_workers: Optional[int] = None) -> List[Dict]:
+                num_workers: Optional[int] = None,
+                job_kwargs: Optional[List[Dict]] = None) -> List[Dict]:
     """Cartesian-product grid over ``run_experiment`` kwargs, on a process
     pool (reference ``grid_search.py:25-175``: CPU pool of 50 + per-GPU
     spawn).
 
-    ``num_workers=None`` sizes the pool to min(jobs, cpu_count); ≤1 runs
-    inline. Workers use a spawn context (fork under JAX deadlocks) and
-    compute on host CPU.
+    Provide either ``option_grid`` ({kwarg: [values...]}) or
+    ``job_kwargs`` (a pre-built list of kwarg dicts, e.g. from
+    ``load_option_grid``). ``num_workers=None`` sizes the pool to
+    min(jobs, cpu_count); ≤1 runs inline. Workers use a spawn context
+    (fork under JAX deadlocks) and compute on host CPU.
     """
     import multiprocessing
     import os
 
-    keys = sorted(option_grid)
+    if job_kwargs is None:
+        keys = sorted(option_grid or {})
+        job_kwargs = [
+            dict(zip(keys, combo))
+            for combo in itertools.product(*[option_grid[k] for k in keys])
+        ]
     jobs = []
-    for i, combo in enumerate(itertools.product(*[option_grid[k] for k in keys])):
-        kwargs = dict(zip(keys, combo))
+    for i, kwargs in enumerate(job_kwargs):
         out_path = None
         if out_dir is not None:
-            tag = "_".join(f"{k}-{v}" for k, v in kwargs.items())
+            tag = "_".join(f"{k}-{v}" for k, v in sorted(kwargs.items()))
             out_path = Path(out_dir) / f"result_{i:04d}_{tag}.pkl"
         jobs.append((kwargs, out_path, views))
     if num_workers is None:

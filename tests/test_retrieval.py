@@ -290,3 +290,56 @@ class TestSampleLevelDerangement:
         assert len(train["audio-layer_0"]) == 32
         assert len(test["audio-layer_0"]) == 8
         assert not set(train["audio-layer_0"]) & set(test["audio-layer_0"])
+
+
+class TestGridFile:
+    """Option-grid json loading (reference search_targets format +
+    native dict format) and the CLI grid mode."""
+
+    def test_load_reference_format(self, tmp_path):
+        import json
+
+        from acav100m_tpu.retrieval.runner import load_option_grid
+
+        grid = [
+            [{"measure_type": "mi"}, {"measure_type": "nmi"}],
+            [{"cluster_pairing": "combination",
+              "clustering_func_type": "sgd_kmeans"}],
+            [{"nexprs": 5, "num_shards": None}],  # no counterpart -> dropped
+        ]
+        p = tmp_path / "grid.json"
+        p.write_text(json.dumps(grid))
+        with pytest.warns(UserWarning, match="dropped"):
+            jobs = load_option_grid(p)
+        assert jobs == [
+            {"measure": "mi", "pairing": "combination",
+             "clustering_method": "sgd"},
+            {"measure": "nmi", "pairing": "combination",
+             "clustering_method": "sgd"},
+        ]
+
+    def test_load_dict_format(self, tmp_path):
+        import json
+
+        from acav100m_tpu.retrieval.runner import load_option_grid
+
+        p = tmp_path / "grid.json"
+        p.write_text(json.dumps({"measure": ["mi", "ami"], "seed": [3]}))
+        jobs = load_option_grid(p)
+        assert jobs == [{"measure": "mi", "seed": 3},
+                        {"measure": "ami", "seed": 3}]
+
+    def test_cli_grid_mode(self, tmp_path, capsys):
+        import json
+
+        from acav100m_tpu.cli import main
+
+        p = tmp_path / "grid.json"
+        p.write_text(json.dumps({"measure": ["mi", "nmi"],
+                                 "ncentroids": [4], "seed": [5],
+                                 "clustering_method": ["sklearn"]}))
+        main(["retrieval", "--grid", str(p),
+              "--out_path", str(tmp_path / "results")])
+        out = capsys.readouterr().out
+        assert out.count("precision=") == 2
+        assert len(list((tmp_path / "results").glob("result_*.pkl"))) == 2
