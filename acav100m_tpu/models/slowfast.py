@@ -394,13 +394,12 @@ class PallasStage(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.pallas.bottleneck_kernel import fold_bn, fused_stage
+        from ..ops.pallas.bottleneck_kernel import fused_stage
 
         blocks = []
         dim_in = x.shape[-1]
         for i in range(self.num_blocks):
             # scope the per-block params under block{i}/ exactly like Stage
-            blk: Dict[str, Any] = {}
             scope = _PallasBottleneckParams(
                 dim_in=dim_in if i == 0 else self.dim_out,
                 dim_out=self.dim_out,
