@@ -595,11 +595,22 @@ class GreedySelector:
         self.active[ids] = False
 
     def run_greedy(self, subset_size: int, start_indices: Sequence[int] = (),
-                   verbose: bool = False):
+                   verbose: bool = False, fold_start: bool = True):
+        """``fold_start`` selects between the reference's two start-index
+        semantics: the retrieval suite folds start samples into the cache
+        (correspondence_retrieval measures/efficient.py:249) while stage-6
+        pool greedy only reserves them output slots — its cache starts empty
+        and the singleton never contributes counts
+        (subset_selection measures/mi.py:150-173, no add_samples call)."""
         import time
 
         selected = list(start_indices)
-        self.add_samples(start_indices)
+        if fold_start:
+            self.add_samples(start_indices)
+        else:
+            ids = np.asarray(list(start_indices), dtype=np.int64)
+            if ids.size:
+                self.active[ids] = False
         gains: List[float] = []
         timelapse: List[float] = []
         lookups: List[int] = []

@@ -65,7 +65,12 @@ def get_config(overrides: Optional[Dict] = None) -> Config:
 # -- loading --------------------------------------------------------------------
 
 def expand_shard_paths(spec) -> List[Path]:
-    paths = sorted(braceexpand(str(spec)))
+    """Brace spec or explicit list -> sorted existing files
+    (``dataloader.py:152-160`` accepts both)."""
+    if isinstance(spec, (list, tuple)):
+        paths = sorted(str(p) for p in spec)
+    else:
+        paths = sorted(braceexpand(str(spec)))
     return [Path(p) for p in paths if Path(p).is_file()]
 
 
@@ -178,7 +183,14 @@ def run_greedy_partition(cfg, rows: Sequence[Dict]) -> List[Dict]:
         )
     else:
         raise ValueError(f"unknown measure {measure_name!r}")
-    selected, _, _, _ = selector.run_greedy(subset_size, start_indices)
+    if measure_name == "batch_mi":
+        selected, _, _, _ = selector.run_greedy(subset_size, start_indices)
+    else:
+        # stage-6 pool greedy never folds the start singleton into the
+        # cache (reference mi.py:150-173) — it only takes an output slot
+        selected, _, _, _ = selector.run_greedy(
+            subset_size, start_indices, fold_start=False
+        )
     # parity: batch_mi EXCLUDES the start singleton from the output (it
     # only seeds the cache, reference batch.py:206-207); plain mi includes
     # it (mi.py:154) — both selectors already return accordingly.
@@ -287,6 +299,11 @@ def compare_measures(cfg, measures: Sequence[str] = ("mi", "mem_mi")) -> Dict:
         for name in measures:
             kind = "mi" if name == "mem_mi" else name
             scorer = "mem" if name == "mem_mi" else "full"
+            # fold_start=True (retrieval semantics) keeps the comparison
+            # well-posed: with an empty cache every candidate's round-1
+            # score is mathematically tied and the argmax is fp-noise —
+            # two correct implementations would diverge arbitrarily
+            # (see tests/test_reference_parity.py tie analysis)
             sel = GreedySelector(assignments, combos, ncentroids=ncentroids,
                                  kind=kind, scorer=scorer)
             s, gains, _, _ = sel.run_greedy(subset_size + 1, [0])

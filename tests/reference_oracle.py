@@ -1,0 +1,301 @@
+"""Import machinery for running the REFERENCE's own code as a parity oracle.
+
+The upstream repo at ``/root/reference`` is pure torch/numpy Python; its
+subset-selection measures (``subset_selection/code/measures/``) and SGD
+k-means (``clustering/code/sgd_clustering.py``) execute on CPU torch in this
+image given three small dependency shims:
+
+* ``torch_scatter.scatter_add`` -> ``Tensor.index_add_`` (the reference only
+  uses the two scatter_add call shapes in ``sgd_clustering.py:113,123``);
+* ``diffdist`` -> empty stub (imported, never called, by
+  ``mps/distributed.py:16`` which ``sgd_clustering.py:7`` pulls in);
+* ``braceexpand`` -> re-export of the repo's own implementation (used by
+  ``subset_selection/code/dataloader.py:10``).
+
+plus one runtime patch: ``sgd_clustering.py:113`` hard-calls ``.cuda()`` on
+the scatter result, so :func:`patch_cuda` turns ``Tensor.cuda`` into a no-op
+for the duration of a test (CPU-only torch build).
+
+Each pipeline stage's ``code/`` dir is a flat module namespace with
+colliding names (``utils``, ``config``, ``save`` ...), so stages are
+imported in isolation: sys.path is pushed, the imported module objects are
+stashed and then *removed* from ``sys.modules`` so a later stage (or the
+repo's own test imports) never sees them.
+
+This module only IMPORTS reference code — nothing here copies it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import importlib
+import sys
+import types
+from pathlib import Path
+
+REFERENCE = Path("/root/reference")
+
+
+def has_reference() -> bool:
+    return (REFERENCE / "subset_selection" / "code").is_dir()
+
+
+# -- dependency shims ---------------------------------------------------------
+
+def _make_torch_scatter_shim():
+    import torch
+
+    mod = types.ModuleType("torch_scatter")
+
+    def scatter_add(src=None, index=None, out=None, dim=0, dim_size=None):
+        if out is None:
+            size = list(src.shape)
+            size[dim] = int(dim_size) if dim_size is not None else int(index.max()) + 1
+            out = torch.zeros(size, dtype=src.dtype, device=src.device)
+            inplace = False
+        else:
+            inplace = True
+        index = index.to(torch.long)
+        out.index_add_(dim, index, src)
+        return out if not inplace else out
+
+    mod.scatter_add = scatter_add
+    return mod
+
+
+def _make_diffdist_shim():
+    pkg = types.ModuleType("diffdist")
+    functional = types.ModuleType("diffdist.functional")
+    pkg.functional = functional
+    return pkg, functional
+
+
+def _make_braceexpand_shim():
+    from acav100m_tpu.utils.braceexpand import braceexpand
+
+    mod = types.ModuleType("braceexpand")
+    mod.braceexpand = braceexpand
+    return mod
+
+
+_SHIMS_INSTALLED = False
+
+
+def install_shims():
+    """Idempotently install the dependency shims into sys.modules (only for
+    names that are genuinely absent from the image)."""
+    global _SHIMS_INSTALLED
+    if _SHIMS_INSTALLED:
+        return
+    if "torch_scatter" not in sys.modules:
+        try:
+            importlib.import_module("torch_scatter")
+        except ImportError:
+            sys.modules["torch_scatter"] = _make_torch_scatter_shim()
+    if "diffdist" not in sys.modules:
+        try:
+            importlib.import_module("diffdist")
+        except ImportError:
+            pkg, functional = _make_diffdist_shim()
+            sys.modules["diffdist"] = pkg
+            sys.modules["diffdist.functional"] = functional
+    if "braceexpand" not in sys.modules:
+        try:
+            importlib.import_module("braceexpand")
+        except ImportError:
+            sys.modules["braceexpand"] = _make_braceexpand_shim()
+    if "wget" not in sys.modules:
+        try:
+            importlib.import_module("wget")
+        except ImportError:
+            # imported (not called) by clustering/code/utils.py:11
+            wget = types.ModuleType("wget")
+            wget.download = None
+            sys.modules["wget"] = wget
+    _SHIMS_INSTALLED = True
+
+
+# -- isolated stage imports ---------------------------------------------------
+
+_STAGE_CACHE = {}
+# every module a stage's imports ever pulled in, evicted from sys.modules
+# between passes and REINSTALLED during later passes for the same stage —
+# otherwise a later `import_stage("subset_selection", ["run"])` would give
+# run.py a FRESH copy of `measures` distinct from the one the caller holds
+# (and patches via f64_measures/unified_shuffles).
+_STAGE_SYSMODULES = {}
+
+
+def import_stage(stage: str, module_names):
+    """Import ``module_names`` from ``/root/reference/<stage>/code`` in
+    isolation; returns {name: module}. Results are cached per (stage, name);
+    all passes for one stage share one consistent module graph.
+    """
+    install_shims()
+    code_dir = REFERENCE / stage / "code"
+    assert code_dir.is_dir(), code_dir
+    out = {}
+    missing = []
+    for name in module_names:
+        key = (stage, name)
+        if key in _STAGE_CACHE:
+            out[name] = _STAGE_CACHE[key]
+        else:
+            missing.append(name)
+    if not missing:
+        return out
+
+    stage_mods = _STAGE_SYSMODULES.setdefault(stage, {})
+    snapshot = set(sys.modules)
+    sys.modules.update(stage_mods)  # re-expose this stage's module graph
+    sys.path.insert(0, str(code_dir))
+    try:
+        for name in missing:
+            mod = importlib.import_module(name)
+            _STAGE_CACHE[(stage, name)] = mod
+            out[name] = mod
+    finally:
+        sys.path.remove(str(code_dir))
+        # evict the stage's modules again (utils/config/save collide between
+        # stages); the objects stay alive via the caches.
+        for name in (set(sys.modules) - snapshot) | set(stage_mods):
+            mod = sys.modules.get(name)
+            if mod is None:
+                continue
+            path = getattr(mod, "__file__", None) or ""
+            if str(code_dir) in str(path) or name in stage_mods or name in ("measures",):
+                stage_mods[name] = mod
+                del sys.modules[name]
+    return out
+
+
+def subset_selection_modules(names=("measures", "pairing", "run_greedy")):
+    return import_stage("subset_selection", names)
+
+
+def clustering_modules(names=("sgd_clustering",)):
+    return import_stage("clustering", names)
+
+
+# -- runtime patches ----------------------------------------------------------
+
+@contextlib.contextmanager
+def patch_cuda():
+    """Make ``Tensor.cuda()`` a no-op (CPU-only torch; reference
+    ``sgd_clustering.py:113`` hard-calls it on the scatter output)."""
+    import torch
+
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda = orig
+
+
+@contextlib.contextmanager
+def f64_measures(mi_module):
+    """Run the reference measures in float64.
+
+    The reference's contingency math executes in torch's default f32 (its
+    ``torch.full((P,C,C), eps)`` cache and ``one_hot(..., torch.float)``
+    candidates, ``measures/mi.py:35,69-74``) even though eps is the float64
+    machine eps. For math-level parity assertions at 1e-12 we lift the same
+    code to f64: default dtype -> float64 and the one_hot output cast to the
+    default dtype. No arithmetic is altered.
+    """
+    import torch
+
+    orig_default = torch.get_default_dtype()
+    orig_one_hot = mi_module.EfficientMI.__dict__["one_hot"]
+    orig_fn = orig_one_hot.__func__
+
+    def one_hot_default_dtype(x, N, default=0, value=1):
+        return orig_fn(x, N, default, value).to(torch.get_default_dtype())
+
+    torch.set_default_dtype(torch.float64)
+    mi_module.EfficientMI.one_hot = staticmethod(one_hot_default_dtype)
+    try:
+        yield
+    finally:
+        torch.set_default_dtype(orig_default)
+        mi_module.EfficientMI.one_hot = orig_one_hot
+
+
+class NS(types.SimpleNamespace):
+    """Tiny recursive namespace standing in for the reference's
+    ``DefaultMunch`` args bags (missing keys -> None)."""
+
+    def __getattr__(self, name):  # only called when attribute is absent
+        return None
+
+    @classmethod
+    def make(cls, dt):
+        return cls(**{
+            k: cls.make(v) if isinstance(v, dict) else v for k, v in dt.items()
+        })
+
+
+def make_selection_args(**overrides):
+    """args bag consumed by ``run_greedy._run_greedy`` / ``run.py``
+    (reference ``subset_selection/code/config.py:1-53`` defaults)."""
+    base = {
+        "batch": {"batch_size": 20, "selection_size": 4, "keep_unselected": True},
+        "computation": {"device": "cpu", "num_workers": 1},
+        "subset": {"ratio": 0.2, "size": None},
+        "clustering": {"pairing": "combination"},
+        "data": {
+            "path": None,
+            "output": {"path": None},
+            "meta": {"path": None},
+        },
+        "measure_name": "batch_mi",
+        "shuffle_candidates": False,
+        "log_every": 1000000,
+        "log_times": None,
+        "node_rank": None,
+        "parent_pid": None,
+        "verbose": False,
+    }
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                merge(dst[k], v)
+            else:
+                dst[k] = v
+
+    merge(base, overrides)
+    return NS.make(base)
+
+
+def make_kmeans_args(device="cpu", num_gpus=1):
+    return NS.make({"computation": {"device": device, "num_gpus": num_gpus}})
+
+
+@contextlib.contextmanager
+def unified_shuffles(mi_or_batch_cls, seed: int):
+    """Replace ``EfficientBatchMI.shuffle_candidate_ids``'s torch.randperm
+    with a numpy RandomState permutation stream so the reference and the
+    repo consume IDENTICAL shuffles (RandomState.shuffle(x) applies the same
+    Fisher-Yates swaps as x[RandomState.permutation(len(x))]). This swaps the
+    RNG source only — the shuffle-every-iteration algorithm is untouched
+    (reference ``measures/batch.py:29-32,94``).
+    """
+    import numpy as np
+    import torch
+
+    rng = np.random.RandomState(seed)
+    orig = mi_or_batch_cls.shuffle_candidate_ids
+
+    def shuffle_candidate_ids(self):
+        perm = rng.permutation(self.candidate_ids.shape[0])
+        self.candidate_ids = self.candidate_ids.index_select(
+            0, torch.from_numpy(perm).to(self.candidate_ids.device)
+        )
+
+    mi_or_batch_cls.shuffle_candidate_ids = shuffle_candidate_ids
+    try:
+        yield rng
+    finally:
+        mi_or_batch_cls.shuffle_candidate_ids = orig
