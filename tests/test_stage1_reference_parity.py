@@ -1,0 +1,330 @@
+"""Stage-1 parity against the reference's REAL wheel Filter + keyword CSVs.
+
+Round-2 VERDICT #2: the actual filter implementation ships as a wheel
+(``metadata_filtering/code/acav_metadata_filter-0.1.0-py3-none-any.whl``,
+source ``filter/filter.py``) and the real keyword lists are on disk at
+``metadata_filtering/keywords/*.csv`` — import both and assert row-for-row
+accept/reject equality plus per-rule ``test_each`` counts against the repo's
+``pipeline.metadata_filtering`` on a tsv sweeping every rule boundary.
+
+Environment-forced injectables (IDENTICAL objects given to both sides, so
+the comparison tests the rule chain / keyword matching / Porter stemming /
+duration / category logic — not the stubbed bits):
+
+* ``fasttext`` is absent -> a fake module whose ``load_model().predict``
+  does deterministic marker-based language ID; the wheel loads it through
+  its bundled ``lid.176.ftz`` path, the repo through
+  ``FastTextLanguageDetector`` pointed at the same file;
+* nltk punkt/stopwords DATA are absent (no egress) -> ``nltk.word_tokenize``
+  patched to the repo's regex tokenizer and ``stopwords.words`` to fixed
+  per-language lists, for both sides (``nltk.download`` no-op'd).
+
+nltk's PorterStemmer itself is real and data-free — the stemmed-tutorial
+rule is compared on the actual nltk implementation.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+import zipfile
+from collections import defaultdict
+from pathlib import Path
+
+import pytest
+
+REFERENCE = Path("/root/reference")
+WHEEL = (
+    REFERENCE / "metadata_filtering" / "code"
+    / "acav_metadata_filter-0.1.0-py3-none-any.whl"
+)
+KEYWORDS_DIR = REFERENCE / "metadata_filtering" / "keywords"
+
+pytestmark = pytest.mark.skipif(not WHEEL.is_file(), reason="wheel not present")
+
+
+# -- shared injectables -------------------------------------------------------
+
+def fake_language(text: str) -> str:
+    """Deterministic stand-in for fastText lid.176: marker-token lookup."""
+    markers = {
+        "hola": "es", "obrigado": "pt", "bonjour": "fr", "danke": "de",
+        "спасибо": "ru", "こんにちは": "ja", "안녕하세요": "ko",
+        "ciao": "it", "hallo": "nl",  # non-major
+    }
+    for marker, lang in markers.items():
+        if marker in text:
+            return lang
+    return "en"
+
+
+STOPWORD_LISTS = {
+    "english": ["the", "a", "an", "and", "is", "to", "of", "in", "this"],
+    "french": ["le", "la", "et", "les"],
+    "spanish": ["el", "los", "y"],
+    "portuguese": ["o", "os", "um"],
+    "german": ["der", "die", "und"],
+    "russian": ["и", "в", "на"],
+}
+
+
+@pytest.fixture()
+def injectables(monkeypatch):
+    import nltk
+
+    from acav100m_tpu.pipeline.metadata_filtering import _TOKEN_RE
+
+    def regex_tokenize(text):
+        return _TOKEN_RE.findall(text)
+
+    class FakeFasttextModel:
+        def predict(self, text, k=1):
+            return (("__label__" + fake_language(text),), (0.99,))
+
+    fake_fasttext = types.ModuleType("fasttext")
+    fake_fasttext.load_model = lambda path: FakeFasttextModel()
+
+    monkeypatch.setitem(sys.modules, "fasttext", fake_fasttext)
+    monkeypatch.setattr(nltk, "word_tokenize", regex_tokenize)
+    monkeypatch.setattr(nltk, "download", lambda *a, **k: True)
+    # nltk.corpus.stopwords is a LazyCorpusLoader — touching any attribute
+    # triggers the (absent) data lookup, so replace the object wholesale
+    fake_stopwords = types.SimpleNamespace(
+        words=lambda lang: list(STOPWORD_LISTS[lang])
+    )
+    monkeypatch.setattr(nltk.corpus, "stopwords", fake_stopwords)
+    return regex_tokenize
+
+
+@pytest.fixture(scope="module")
+def wheel_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wheel")
+    with zipfile.ZipFile(WHEEL) as z:
+        z.extractall(d)
+    return d
+
+
+@pytest.fixture()
+def wheel_filter_module(wheel_dir, injectables, monkeypatch):
+    # fresh import under the patched environment
+    for name in [n for n in sys.modules if n == "filter" or n.startswith("filter.")]:
+        monkeypatch.delitem(sys.modules, name)
+    monkeypatch.syspath_prepend(str(wheel_dir))
+    import importlib
+
+    mod = importlib.import_module("filter.filter")
+    importlib.reload(mod)
+    yield mod
+    for name in [n for n in sys.modules if n == "filter" or n.startswith("filter.")]:
+        del sys.modules[name]
+
+
+# -- fixture tsv sweeping every rule boundary ---------------------------------
+
+def _row(vid, title="", desc="", category="People", video_length=None,
+         duration=None):
+    import json
+
+    fields = {"Title": title, "Description": desc, "YouTubeCategory": category}
+    if video_length is not None:
+        fields["VideoLength"] = str(video_length)
+    else:
+        fields["VideoLength"] = ""
+    media = [{"Duration": str(duration) if duration is not None else ""}]
+    return vid + "\t" + json.dumps(
+        {"LatestDAFeature": fields, "MediaVersionList": media}
+    )
+
+
+def _first_phrase(keywords):
+    """First phrase from a REAL keyword list whose tokens are plain words —
+    so the phrase embedded in free text re-tokenizes to exactly the keyword
+    token sequence (phrases with punctuation split differently, on the
+    reference side too)."""
+    import re
+
+    for phrase in keywords:
+        if all(re.fullmatch(r"[a-z0-9]+", tok) for tok in phrase):
+            return " ".join(phrase)
+    raise AssertionError("no plain-word phrase in keyword list")
+
+
+def make_boundary_tsv(path: Path, real_keywords):
+    rows = [
+        # duration boundaries: VideoLength = duration + 1
+        _row("dur29", "a video about nature", video_length=30),     # 29 -> drop
+        _row("dur30", "a video about nature", video_length=31),     # 30 -> keep
+        _row("dur597", "a video about nature", video_length=598),   # 597 -> keep
+        _row("dur598", "a video about nature", video_length=599),   # 598 -> drop
+        # VideoLength fallback to Duration
+        _row("fall", "a video about nature", video_length=None, duration=120),
+        _row("nodur", "a video about nature"),                      # 0 -> drop
+        # language gate
+        _row("lang_es", "hola amigos un video", video_length=100),
+        _row("lang_it", "ciao ragazzi benvenuti", video_length=100),   # non-major
+        _row("lang_nl", "hallo allemaal welkom", video_length=100),    # non-major
+        _row("lang_ja", "こんにちは みなさん", video_length=100),
+        # category rules
+        _row("cat_gaming", "just a chat", category="Gaming", video_length=100),
+        _row("cat_music_artist",
+             "new song " + _first_phrase(real_keywords["artist"]),
+             category="Music", video_length=100),
+        _row("cat_music_clean", "pure piano improvisation with no label",
+             category="Music", video_length=100),
+        _row("cat_people_artist",  # artist kw outside Music category: kept
+             "covering " + _first_phrase(real_keywords["artist"]),
+             category="People", video_length=100),
+        # keyword families (real lists)
+        _row("kw_gaming", "lets watch " + _first_phrase(real_keywords["gaming"]),
+             video_length=100),
+        _row("kw_animation",
+             "my " + _first_phrase(real_keywords["animation"]) + " short",
+             video_length=100),
+        _row("kw_official",
+             _first_phrase(real_keywords["officialvideo"]) + " out now",
+             video_length=100),
+        # the stemmed tutorial rule: with the REAL list this rule is inert
+        # (see test_tutorial_rule_quirk) — both rows are KEPT
+        _row("kw_tutorial_inflected", "best tutorials for beginners",
+             video_length=100),
+        _row("kw_tutorial_direct", "photoshop tutorial for beginners",
+             video_length=100),
+        _row("kw_tutorial_clean", "relaxing rain sounds", video_length=100),
+        # URL stripping before keyword checks
+        _row("url", "watch this http://official.video/now stream",
+             video_length=100),
+        # malformed rows
+        "notenough_columns_line",
+        _row("nontstr_title", title="", desc="", video_length=100),
+    ]
+    path.write_text("\n".join(rows) + "\n")
+    return path
+
+
+def test_keyword_csvs_match_wheel_statics(wheel_dir):
+    """The standalone keywords/*.csv == the wheel's bundled statics."""
+    for name in ["animation", "artist", "gaming", "officialvideo", "tutorial"]:
+        standalone = (KEYWORDS_DIR / f"{name}_keywords.csv").read_bytes()
+        bundled = (wheel_dir / "filter" / "statics" / "keywords" / f"{name}.csv").read_bytes()
+        assert standalone == bundled, name
+
+
+def test_keyword_loader_matches_wheel(wheel_filter_module):
+    """Repo ``load_keyword_csv`` == wheel ``load_keyword`` on the REAL csvs
+    (as phrase sets; the wheel's set() order is arbitrary)."""
+    from acav100m_tpu.pipeline.metadata_filtering import load_keyword_csv
+
+    for path in sorted(KEYWORDS_DIR.glob("*.csv")):
+        ref = wheel_filter_module.load_keyword(path)
+        mine = load_keyword_csv(path)
+        ref_set = {" ".join(p) for p in ref} - {""}
+        mine_set = {" ".join(p) for p in mine}
+        assert mine_set == ref_set, path.name
+
+
+def test_filter_chain_row_for_row(tmp_path, wheel_filter_module, injectables):
+    """Accept/reject equality per row + identical kept-file bytes on the
+    boundary-sweep tsv, real keyword lists on both sides."""
+    from acav100m_tpu.pipeline import metadata_filtering as mf
+
+    real_keywords = mf.load_keywords(KEYWORDS_DIR)
+    tsv = make_boundary_tsv(tmp_path / "in.tsv", real_keywords)
+
+    # reference side: wheel Preprocessor + Filter with the real keyword dir
+    wheel_keywords = {
+        p.stem.replace("_keywords", ""): wheel_filter_module.load_keyword(p)
+        for p in sorted(KEYWORDS_DIR.glob("*.csv"))
+    }
+    ref_pre = wheel_filter_module.Preprocessor()
+    ref_filter = wheel_filter_module.Filter(wheel_keywords)
+
+    # repo side: same fastText stub via the wheel's bundled model path
+    ftz = Path(wheel_filter_module.__file__).parent / "statics" / "lid.176.ftz"
+    my_pre = mf.Preprocessor()
+    my_filter = mf.MetadataFilter(keywords=real_keywords, fasttext_model=ftz)
+    assert isinstance(my_filter.language_detector, mf.FastTextLanguageDetector)
+
+    decisions = {}
+    each_ref = defaultdict(int)
+    each_mine = defaultdict(int)
+    keep_ref, keep_mine = [], []
+    for line in tsv.read_text().splitlines():
+        ref_fields = ref_pre(line.strip())
+        my_fields = my_pre(line.strip())
+        assert (ref_fields is None) == (my_fields is None), line[:40]
+        if ref_fields is None:
+            continue
+        assert tuple(my_fields) == tuple(ref_fields), line[:40]
+        vid = ref_fields[0]
+        ref_ok = ref_filter(*ref_fields)
+        my_ok = my_filter(*my_fields)
+        assert my_ok == ref_ok, f"{vid}: repo={my_ok} reference={ref_ok}"
+        decisions[vid] = ref_ok
+        if ref_ok:
+            keep_ref.append(line)
+        if my_ok:
+            keep_mine.append(line)
+        for rule, flag in ref_filter.test_each(*ref_fields).items():
+            each_ref[rule] += int(flag)
+
+    # per-rule drop counts: repo test_each == wheel test_each
+    each_mine = mf.test_each(tsv, keywords_dir=KEYWORDS_DIR, fasttext_model=ftz)
+    assert dict(each_mine) == dict(each_ref)
+
+    # the sweep actually exercised every boundary
+    assert decisions["dur29"] is False and decisions["dur30"] is True
+    assert decisions["dur597"] is True and decisions["dur598"] is False
+    assert decisions["fall"] is True and decisions["nodur"] is False
+    assert decisions["lang_es"] is True
+    assert decisions["lang_it"] is False and decisions["lang_nl"] is False
+    assert decisions["cat_gaming"] is False
+    assert decisions["cat_music_artist"] is False
+    assert decisions["cat_music_clean"] is True
+    assert decisions["cat_people_artist"] is True
+    assert decisions["kw_gaming"] is False
+    assert decisions["kw_animation"] is False
+    assert decisions["kw_official"] is False
+    # the stemmed-tutorial rule is inert with the real list (quirk below) —
+    # the agreement asserts both sides reproduce the inertness identically
+    assert decisions["kw_tutorial_inflected"] is True
+    assert decisions["kw_tutorial_direct"] is True
+    assert decisions["kw_tutorial_clean"] is True
+
+    # file-level: repo run_file output == the wheel-accepted lines
+    out = tmp_path / "out.tsv"
+    kept, total = mf.run_file(tsv, out, keywords_dir=KEYWORDS_DIR, fasttext_model=ftz)
+    assert out.read_text().splitlines() == keep_ref == keep_mine
+
+
+def test_tutorial_rule_quirk_and_stem_path(tmp_path, wheel_filter_module,
+                                           injectables):
+    """Documented reference quirk: the tutorial rule stems the TEXT but
+    matches UNstemmed keyword phrases (filter.py:209-217,235) — and every
+    phrase in the real tutorial list contains a token Porter mangles
+    ('tutorial' -> 'tutori'; no word stems TO 'tutorial'), so with the real
+    CSVs the rule can never fire. Verified here against the real list, on
+    both implementations; a synthetic stem-fixpoint keyword ('guitar
+    lesson', where 'lessons' stems to 'lesson') proves the stem path itself
+    behaves identically when a phrase CAN match."""
+    from nltk.stem import PorterStemmer
+
+    from acav100m_tpu.pipeline import metadata_filtering as mf
+
+    stem = PorterStemmer().stem
+    real = mf.load_keywords(KEYWORDS_DIR)
+    assert all(any(stem(t) != t for t in phrase) for phrase in real["tutorial"]), \
+        "real tutorial list gained a stem-fixpoint phrase — quirk claim is stale"
+
+    synthetic = {**{k: [] for k in real}, "tutorial": [["guitar", "lesson"]]}
+    ref_filter = wheel_filter_module.Filter(synthetic)
+    ftz = Path(wheel_filter_module.__file__).parent / "statics" / "lid.176.ftz"
+    my_filter = mf.MetadataFilter(keywords=synthetic, fasttext_model=ftz)
+
+    for text, expect in [
+        ("my guitar lessons for everyone", False),   # stems to guitar lesson
+        ("my guitar lesson for everyone", False),
+        ("my piano lessons for everyone", True),
+    ]:
+        ref_ok = ref_filter("v", text, "People", 100)
+        my_ok = my_filter("v", text, "People", 100)
+        assert ref_ok == my_ok == expect, text
