@@ -167,19 +167,76 @@ class Prefetcher:
             yield item
 
 
-def _stream_worker(shard_paths, metas, skip_lists, decoder, prepare, q):
+def _sample_to_shm(sample: Dict):
+    """Move a decoded sample's arrays into a SharedMemory segment; return a
+    small picklable descriptor.
+
+    Kill-safety is the point: a worker hard-killed (OOM killer, os._exit)
+    mid-write can tear a multi-MB pickled sample in the mp.Queue pipe and
+    the consumer's recv then blocks FOREVER on the missing bytes. Pipe
+    writes up to PIPE_BUF (64 KB on Linux) are atomic, so the queue carries
+    only this sub-KB descriptor; the ~6 MB of frames/audio ride shared
+    memory. (Also one fewer pickle copy per sample on the hot host path.)
+    """
+    from multiprocessing import shared_memory
+
+    arrays = {k: np.asarray(v) for k, v in sample.items()
+              if isinstance(v, np.ndarray) or k in ("frames", "audio", "valid_samples")}
+    total = sum(int(a.nbytes) for a in arrays.values())
+    meta = {k: v for k, v in sample.items() if k not in arrays}
+    if total == 0:
+        return {"meta": meta, "shm": None, "layout": []}
+    shm = shared_memory.SharedMemory(create=True, size=total)
+    layout = []
+    offset = 0
+    for key, arr in arrays.items():
+        view = np.ndarray(arr.shape, arr.dtype, buffer=shm.buf, offset=offset)
+        view[...] = arr
+        layout.append((key, str(arr.dtype), arr.shape, offset))
+        offset += int(arr.nbytes)
+    name = shm.name
+    shm.close()
+    return {"meta": meta, "shm": name, "layout": layout}
+
+
+def _sample_from_shm(payload: Dict) -> Dict:
+    """Rebuild a sample from its descriptor; copies out and unlinks."""
+    from multiprocessing import shared_memory
+
+    sample = dict(payload["meta"])
+    if payload["shm"] is None:
+        return sample
+    shm = shared_memory.SharedMemory(name=payload["shm"])
+    try:
+        for key, dtype, shape, offset in payload["layout"]:
+            view = np.ndarray(shape, np.dtype(dtype), buffer=shm.buf, offset=offset)
+            sample[key] = np.array(view)  # own the memory past unlink
+    finally:
+        shm.close()
+        shm.unlink()
+    return sample
+
+
+def _stream_worker(wid, shard_paths, metas, skip_lists, decoder, prepare, q):
     """Persistent decode worker: streams its shard subset sample-by-sample
     onto the shared bounded queue (runs in a *spawned* process — fork under
     a live JAX runtime deadlocks; the reference instead relied on torch
-    DataLoader workers, ``mps/distributed.py worker_urls``)."""
+    DataLoader workers, ``mps/distributed.py worker_urls``). Emits
+    ``shard_done`` after each completed shard so the consumer can requeue
+    only the unfinished remainder on failure. Bulk array data travels via
+    shared memory (see ``_sample_to_shm``) so queue messages stay within
+    the pipe's atomic-write bound — a killed worker can never corrupt the
+    stream for everyone else."""
     try:
-        ds = TarShardDataset(shard_paths, metas, skip_lists, decoder, prepare)
-        for sample in ds:
-            q.put(("sample", sample))
+        for shard_path in shard_paths:
+            ds = TarShardDataset([shard_path], metas, skip_lists, decoder, prepare)
+            for sample in ds:
+                q.put(("sample", _sample_to_shm(sample)))
+            q.put(("shard_done", (wid, Path(shard_path).stem)))
     except Exception as e:  # surfaced (not raised) on the consumer side
-        q.put(("error", f"{type(e).__name__}: {e}"))
+        q.put(("error", (wid, f"{type(e).__name__}: {e}")))
     finally:
-        q.put(("done", None))
+        q.put(("done", wid))
 
 
 def _pooled_stream(
@@ -190,46 +247,127 @@ def _pooled_stream(
     prepare: Callable,
     num_workers: int,
     buffer_samples: int,
+    shard_retries: int = 2,
+    poll_interval: float = 1.0,
 ) -> Iterator[Dict]:
     """Stream samples from ``num_workers`` persistent decode processes.
 
     Memory is bounded by the queue: at most ``buffer_samples`` decoded
     clips (~6.3 MB each at production shapes) are in flight, regardless of
-    shard size — round 1 materialized whole shards per worker (~6 GB for a
-    1000-clip shard). Sample order is unordered across workers, like the
+    shard size. Sample order is unordered across workers, like the
     reference's ``imap_unordered`` DataLoader semantics.
+
+    Failure handling (beyond the reference's warn-and-drop): when a worker
+    errors — or dies without reporting, detected by liveness polling — its
+    unfinished shards are REQUEUED onto a replacement worker, with the
+    partially-streamed shard resumed exactly-once via a skip list of the
+    filenames already delivered. A shard that kills ``shard_retries``
+    workers in a row is dropped with a warning (poison-shard guard; the
+    per-shard cache/resume layer still covers it on the next run).
     """
     import multiprocessing as mp
+    import queue as queue_mod
+    from collections import defaultdict
 
     from ..utils.shards import worker_selection
 
     ctx = mp.get_context("spawn")
     q = ctx.Queue(maxsize=max(buffer_samples, 1))
-    procs = []
-    for w in range(num_workers):
-        sub = worker_selection(list(shard_paths), w, num_workers)
+    workers: Dict[int, Dict] = {}
+    yielded: Dict[str, set] = defaultdict(set)
+    retry_counts: Dict[str, int] = defaultdict(int)
+    next_wid = 0
+
+    def launch(sub_paths):
+        nonlocal next_wid
+        wid = next_wid
+        next_wid += 1
+        skips = {
+            name: list(set(skip_lists.get(name, []) if skip_lists else [])
+                       | yielded[name])
+            for name in {Path(p).stem for p in sub_paths}
+        }
         p = ctx.Process(
             target=_stream_worker,
-            args=(sub, metas, skip_lists, decoder, prepare, q),
+            args=(wid, list(sub_paths), metas, skips, decoder, prepare, q),
             daemon=True,
         )
         p.start()
-        procs.append(p)
-    done = 0
-    try:
-        while done < num_workers:
-            kind, payload = q.get()
-            if kind == "sample":
-                yield payload
-            elif kind == "error":
-                warnings.warn(f"decode worker failed: {payload}")
+        workers[wid] = {"proc": p, "shards": list(sub_paths),
+                        "completed": set(), "done": False}
+
+    def handle_failure(wid, reason):
+        st = workers[wid]
+        if st["done"]:
+            return
+        st["done"] = True
+        unfinished = [
+            p for p in st["shards"] if Path(p).stem not in st["completed"]
+        ]
+        requeue = []
+        for p in unfinished:
+            retry_counts[Path(p).stem] += 1
+            if retry_counts[Path(p).stem] > shard_retries:
+                warnings.warn(
+                    f"shard {Path(p).stem} dropped after {shard_retries} "
+                    f"failed decode workers (poison shard?)"
+                )
             else:
-                done += 1
+                requeue.append(p)
+        warnings.warn(
+            f"decode worker {wid} failed ({reason}); requeuing "
+            f"{len(requeue)} unfinished shard(s)"
+        )
+        if requeue:
+            launch(requeue)
+
+    for w in range(num_workers):
+        launch(worker_selection(list(shard_paths), w, num_workers))
+
+    try:
+        while any(not st["done"] for st in workers.values()):
+            try:
+                kind, payload = q.get(timeout=poll_interval)
+            except queue_mod.Empty:
+                for wid, st in list(workers.items()):
+                    if not st["done"] and not st["proc"].is_alive():
+                        handle_failure(wid, "process died without reporting")
+                continue
+            if kind == "sample":
+                sample = _sample_from_shm(payload)
+                yielded[sample["shard_name"]].add(sample["filename"])
+                yield sample
+            elif kind == "shard_done":
+                wid, shard_name = payload
+                workers[wid]["completed"].add(shard_name)
+            elif kind == "error":
+                wid, msg = payload
+                handle_failure(wid, msg)
+            else:  # done
+                workers[payload]["done"] = True
     finally:
-        for p in procs:
+        for st in workers.values():
+            p = st["proc"]
             if p.is_alive():
                 p.terminate()
             p.join(timeout=5)
+        # best-effort: unlink shm segments of undelivered in-flight samples
+        # (early consumer exit); segments of killed workers are reclaimed by
+        # the multiprocessing resource tracker at process shutdown
+        try:
+            from multiprocessing import shared_memory
+
+            while True:
+                kind, payload = q.get_nowait()
+                if kind == "sample" and payload.get("shm"):
+                    try:
+                        seg = shared_memory.SharedMemory(name=payload["shm"])
+                        seg.close()
+                        seg.unlink()
+                    except FileNotFoundError:
+                        pass
+        except queue_mod.Empty:
+            pass
         q.close()
 
 

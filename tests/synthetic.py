@@ -68,6 +68,27 @@ def marking_decoder(data, marker_dir):
     return decode_npz(data)
 
 
+def crash_once_decoder(data, marker_path, crash_after=3):
+    """decode_npz that HARD-KILLS its worker process (``os._exit`` — no
+    exception, no queue message) on the ``crash_after``-th in-process decode,
+    once globally (guarded by a marker file shared across processes). Tests
+    the pooled loader's liveness detection + exactly-once shard requeue."""
+    import os
+
+    from acav100m_tpu.data.video import decode_npz
+
+    global _CRASH_COUNT
+    try:
+        _CRASH_COUNT += 1
+    except NameError:
+        _CRASH_COUNT = 1
+    marker = Path(marker_path)
+    if _CRASH_COUNT >= crash_after and not marker.exists():
+        marker.touch()
+        os._exit(1)
+    return decode_npz(data)
+
+
 def make_pyslowfast_state_dict(rng):
     """Deterministic torch-style state dict for the REAL SlowFast-R50
     two-pathway topology (PySlowFast module names, numpy values) — the
