@@ -34,6 +34,7 @@ DEFAULTS = {
         "num_frames": 8,
         "crop": 112,
         "num_ensemble_views": 2,
+        "num_spatial_crops": 1,  # 3 = reference TEST.NUM_SPATIAL_CROPS
     },
     "train": {
         "num_steps": 100,
@@ -47,6 +48,15 @@ DEFAULTS = {
         "num_classes": None,   # None -> len(labels.json classes)
         "num_steps": 200,
         "base_lr": 1e-2,
+        # protocol: None = single flat split; "splits" = UCF101-style
+        # official-split averaging; "folds" = ESC-50-style k-fold CV
+        "protocol": None,
+        "num_splits": 3,
+        "num_folds": 5,
+        # cache frozen-backbone train features once and train the head on
+        # the cache (multi-epoch head training without re-running the
+        # backbone; freezes train-view augmentation to one draw)
+        "cache_features": False,
     },
     "checkpoint": {"dir": None, "pretrained": None},
     "tensorboard": {"dir": None},
@@ -119,45 +129,101 @@ def run_task(cfg: Config) -> Dict:
         return {"task": "pretrain", "steps": int(state.step),
                 "history": history}
     if cfg.task == "linear_eval":
-        from .data import ClipClassificationDataset
-
-        if not cfg.checkpoint.pretrained:
-            raise ValueError("linear_eval needs checkpoint.pretrained")
-        backbone = et.load_pretrained_backbone(cfg.checkpoint.pretrained)
-        root = Path(cfg.data.path)
-        train_ds = ClipClassificationDataset(root, "train")
-        test_ds = ClipClassificationDataset(
-            root, "test", num_ensemble_views=cfg.data.num_ensemble_views)
-        num_classes = cfg.eval.num_classes or len(train_ds.classes)
-
-        def batches(ds, reps):
-            for _ in range(reps):
-                buf = []
-                for ex in ds.examples(rng, cfg.data.num_frames, cfg.data.crop):
-                    buf.append(ex)
-                    if len(buf) == cfg.data.batch_size:
-                        yield _collate_classify(buf)
-                        buf = []
-                if buf:
-                    yield _collate_classify(buf)
-
-        reps = max(1, -(-cfg.eval.num_steps * cfg.data.batch_size
-                        // max(len(train_ds), 1)))
-        result = et.linear_eval(
-            backbone,
-            batches(train_ds, reps),
-            batches(test_ds, 1),
-            num_classes=num_classes,
-            mode=cfg.eval.mode,
-            num_steps=cfg.eval.num_steps,
-            base_lr=cfg.eval.base_lr,
-            log_every=cfg.train.log_every,
-            stats_path=(Path(cfg.checkpoint.dir) / "stats.jsonl"
-                        if cfg.checkpoint.dir else None),
-        )
+        if cfg.eval.protocol:
+            return run_protocol(cfg)
+        result = _linear_eval_once(cfg, rng)
         return {"task": "linear_eval", "top1": result["top1"],
                 "top5": result["top5"]}
     raise ValueError(f"unknown task {cfg.task!r} (pretrain|linear_eval)")
+
+
+def _linear_eval_once(cfg: Config, rng, split_id: Optional[int] = None,
+                      fold: Optional[int] = None) -> Dict:
+    """One frozen-backbone linear eval on one train/test partition."""
+    from . import train as et
+    from .data import ClipClassificationDataset
+
+    if not cfg.checkpoint.pretrained:
+        raise ValueError("linear_eval needs checkpoint.pretrained")
+    backbone = et.load_pretrained_backbone(cfg.checkpoint.pretrained)
+    root = Path(cfg.data.path)
+    train_ds = ClipClassificationDataset(
+        root, "train", split_id=split_id, fold=fold)
+    test_ds = ClipClassificationDataset(
+        root, "test",
+        num_ensemble_views=cfg.data.num_ensemble_views,
+        num_spatial_crops=cfg.data.num_spatial_crops,
+        split_id=split_id, fold=fold,
+    )
+    num_classes = cfg.eval.num_classes or len(train_ds.classes)
+
+    def batches(ds, reps):
+        for _ in range(reps):
+            buf = []
+            for ex in ds.examples(rng, cfg.data.num_frames, cfg.data.crop):
+                buf.append(ex)
+                if len(buf) == cfg.data.batch_size:
+                    yield _collate_classify(buf)
+                    buf = []
+            if buf:
+                yield _collate_classify(buf)
+
+    reps = max(1, -(-cfg.eval.num_steps * cfg.data.batch_size
+                    // max(len(train_ds), 1)))
+    if cfg.eval.cache_features:
+        reps = 1  # one pass materializes the cache; the head loops on it
+    return et.linear_eval(
+        backbone,
+        batches(train_ds, reps),
+        batches(test_ds, 1),
+        num_classes=num_classes,
+        mode=cfg.eval.mode,
+        num_steps=cfg.eval.num_steps,
+        base_lr=cfg.eval.base_lr,
+        log_every=cfg.train.log_every,
+        cache_features=bool(cfg.eval.cache_features),
+        stats_path=(Path(cfg.checkpoint.dir) / "stats.jsonl"
+                    if cfg.checkpoint.dir else None),
+    )
+
+
+def run_protocol(cfg: Config) -> Dict:
+    """Reference downstream evaluation protocol orchestration.
+
+    * ``eval.protocol="splits"``: UCF101-style — run linear eval on each of
+      the ``num_splits`` official train/test splits, report per-split and
+      split-averaged top-1/top-5 (the BASELINE.md numbers are split
+      averages; ``evaluation/README.md:75``).
+    * ``eval.protocol="folds"``: ESC-50-style — ``num_folds``-fold cross
+      validation (fold i is the test set), fold-averaged accuracies
+      (``data/esc50.py:17-188``).
+    """
+    rng = np.random.RandomState(cfg.computation.random_seed or 0)
+    protocol = cfg.eval.protocol
+    if protocol == "splits":
+        runs = [("split", i) for i in range(1, (cfg.eval.num_splits or 3) + 1)]
+    elif protocol == "folds":
+        runs = [("fold", i) for i in range(1, (cfg.eval.num_folds or 5) + 1)]
+    else:
+        raise ValueError(f"unknown eval.protocol {protocol!r} (splits|folds)")
+    per_run = {}
+    for kind, i in runs:
+        result = _linear_eval_once(
+            cfg, rng,
+            split_id=i if kind == "split" else None,
+            fold=i if kind == "fold" else None,
+        )
+        per_run[f"{kind}{i}"] = {"top1": result["top1"], "top5": result["top5"]}
+    top1 = float(np.mean([r["top1"] for r in per_run.values()]))
+    top5 = float(np.mean([r["top5"] for r in per_run.values()]))
+    return {
+        "task": "linear_eval",
+        "protocol": protocol,
+        "per_run": per_run,
+        # split/fold-averaged, the BASELINE.md table format
+        "top1": top1,
+        "top5": top5,
+    }
 
 
 def _collate_classify(buf):

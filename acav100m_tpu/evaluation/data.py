@@ -81,11 +81,35 @@ def spec_augment(lm: np.ndarray, rng: np.random.RandomState,
     return lm
 
 
+def uniform_crop_offsets(h: int, w: int, size: int, spatial_idx: int
+                         ) -> Tuple[int, int]:
+    """Test-time uniform crop positions (transform.py:89-127): 0/1/2 =
+    left/center/right when width > height, top/center/bottom otherwise."""
+    assert spatial_idx in (0, 1, 2)
+    y = int(np.ceil(max(h - size, 0) / 2))
+    x = int(np.ceil(max(w - size, 0) / 2))
+    if h > w:
+        if spatial_idx == 0:
+            y = 0
+        elif spatial_idx == 2:
+            y = max(h - size, 0)
+    else:
+        if spatial_idx == 0:
+            x = 0
+        elif spatial_idx == 2:
+            x = max(w - size, 0)
+    return y, x
+
+
 def random_visual_window(frames: np.ndarray, num_frames: int, crop: int,
                          rng: np.random.RandomState,
-                         train: bool = True) -> Tuple[np.ndarray, int]:
+                         train: bool = True,
+                         spatial_idx: Optional[int] = None
+                         ) -> Tuple[np.ndarray, int]:
     """Random contiguous frame window + spatial crop + hflip.
 
+    Test mode (``train=False``): ``spatial_idx`` selects the uniform crop
+    position (None -> center, matching NUM_SPATIAL_CROPS=1).
     Returns (clip (num_frames, crop, crop, 3), start_frame).
     """
     t, h, w, _ = frames.shape
@@ -94,8 +118,12 @@ def random_visual_window(frames: np.ndarray, num_frames: int, crop: int,
     )
     idx = np.clip(np.arange(start, start + num_frames), 0, t - 1)
     clip = frames[idx]
-    y = rng.randint(0, max(h - crop, 0) + 1) if train else max((h - crop) // 2, 0)
-    x = rng.randint(0, max(w - crop, 0) + 1) if train else max((w - crop) // 2, 0)
+    if train:
+        y = rng.randint(0, max(h - crop, 0) + 1)
+        x = rng.randint(0, max(w - crop, 0) + 1)
+    else:
+        y, x = uniform_crop_offsets(h, w, crop, 1 if spatial_idx is None
+                                    else spatial_idx)
     clip = clip[:, y : y + crop, x : x + crop]
     if clip.shape[1] < crop or clip.shape[2] < crop:
         clip = np.pad(
@@ -113,10 +141,13 @@ def make_pretrain_example(
     num_frames: int = 8,
     crop: int = 112,
     train: bool = True,
+    spatial_idx: Optional[int] = None,
 ) -> Optional[Dict]:
     """Decoded clip -> {visual (T,H,W,3) uint8, audio_logmel (80,128)}.
 
     Audio window aligned with the visual window (data/contrast.py:25-179).
+    ``spatial_idx`` (test only): uniform crop position for
+    NUM_SPATIAL_CROPS ensembling.
     """
     frames = decoded["frames"]
     audio = decoded["audio"]
@@ -124,7 +155,8 @@ def make_pretrain_example(
     fps = decoded.get("video_fps") or 30.0
     if frames.shape[0] == 0 or audio.shape[0] < int(0.5 * sr):
         return None
-    clip, start_frame = random_visual_window(frames, num_frames, crop, rng, train)
+    clip, start_frame = random_visual_window(frames, num_frames, crop, rng,
+                                             train, spatial_idx=spatial_idx)
     # aligned audio window centered on the visual window
     center_sec = (start_frame + num_frames / 2) / fps
     a0 = int(max(center_sec - CLIP_DURATION / 2, 0) * sr)
@@ -180,19 +212,46 @@ class ClipClassificationDataset:
     """Directory of npz clips + labels.json -> classification examples.
 
     labels.json: {"classes": [...], "items": [{"file": ..., "label": int,
-    "split": "train"|"test"}]}. This is the pre-materialized stand-in for
-    UCF101/ESC-50/Kinetics-Sounds (whose fetch scripts need egress); the
-    example format and ensembling match the reference loaders.
+    ...membership...}]}. Item membership, per protocol:
+
+    * flat:          {"split": "train"|"test"} (default);
+    * UCF101-style 3 official splits (``data/ucf101.py:16-109``):
+      {"splits": {"1": "train"|"test", "2": ..., "3": ...}} selected via
+      ``split_id``;
+    * ESC-50-style 5-fold CV (``data/esc50.py:17-188``): {"fold": 1..5}
+      selected via ``fold`` — the given fold is the test set, the rest
+      train.
+
+    This is the pre-materialized stand-in for UCF101/ESC-50/
+    Kinetics-Sounds (whose fetch scripts need egress); the example format,
+    split/fold protocol, and NUM_ENSEMBLE_VIEWS x NUM_SPATIAL_CROPS test
+    ensembling match the reference loaders.
     """
 
     def __init__(self, root, split: str = "train",
-                 num_ensemble_views: int = 2):
+                 num_ensemble_views: int = 2,
+                 num_spatial_crops: int = 1,
+                 split_id: Optional[int] = None,
+                 fold: Optional[int] = None):
         self.root = Path(root)
         spec = json.loads((self.root / "labels.json").read_text())
         self.classes = spec["classes"]
-        self.items = [it for it in spec["items"] if it.get("split", "train") == split]
+        self.items = [
+            it for it in spec["items"]
+            if self._membership(it, split_id, fold) == split
+        ]
         self.split = split
         self.num_ensemble_views = num_ensemble_views
+        self.num_spatial_crops = num_spatial_crops
+
+    @staticmethod
+    def _membership(item: Dict, split_id: Optional[int],
+                    fold: Optional[int]) -> str:
+        if fold is not None:
+            return "test" if int(item["fold"]) == int(fold) else "train"
+        if split_id is not None:
+            return item["splits"][str(split_id)]
+        return item.get("split", "train")
 
     def __len__(self):
         return len(self.items)
@@ -211,7 +270,9 @@ class ClipClassificationDataset:
     def examples(self, rng: np.random.RandomState, num_frames=8, crop=112
                  ) -> Iterator[Dict]:
         """Train: one random view per item. Test: NUM_ENSEMBLE_VIEWS uniform
-        temporal views per item (meters sum scores per video_index)."""
+        temporal views x NUM_SPATIAL_CROPS uniform crops per item — the
+        reference's spatial_temporal_idx enumeration (``data/ucf101.py:
+        148-166``); meters sum all view scores per video_index."""
         train = self.split == "train"
         for i in range(len(self.items)):
             row = self.load(i)
@@ -227,7 +288,13 @@ class ClipClassificationDataset:
                     start = int(v * max(t - num_frames, 0) /
                                 max(self.num_ensemble_views - 1, 1))
                     sub["frames"] = sub["frames"][start:]
-                    ex = make_pretrain_example(sub, rng, num_frames, crop,
-                                               train=False)
-                    if ex is not None:
-                        yield {**ex, "label": row["label"], "video_index": i}
+                    for s in range(self.num_spatial_crops):
+                        # 1 crop -> center; 3 crops -> left/center/right
+                        spatial_idx = 1 if self.num_spatial_crops == 1 else s
+                        ex = make_pretrain_example(
+                            sub, rng, num_frames, crop, train=False,
+                            spatial_idx=spatial_idx,
+                        )
+                        if ex is not None:
+                            yield {**ex, "label": row["label"],
+                                   "video_index": i}

@@ -327,10 +327,16 @@ def linear_eval(
     base_lr: float = 1e-2,
     seed: int = 0,
     log_every: int = 10,
+    cache_features: bool = False,
     stats_path=None,
 ) -> Dict:
     """Train a linear head on frozen features, test with per-video score
     ensembling. Batches: {visual, audio, label, video_index}.
+
+    ``cache_features``: run the frozen backbone over the train set ONCE and
+    train the head for ``num_steps`` on the cached features (the real
+    protocol's multi-epoch head training without re-running the backbone
+    every step; trades fresh per-epoch augmentation for one fixed draw).
     Returns {top1, top5, history}."""
     from ..utils.profiling import Meters, log_json_stats
 
@@ -363,8 +369,23 @@ def linear_eval(
     key = jax.random.PRNGKey(seed)
     history = []
     steps = 0
+    if cache_features:
+        cached = [
+            (feature_fn(jnp.asarray(b["visual"]), jnp.asarray(b["audio"])),
+             b["label"])
+            for b in train_batches
+        ]
+
+        def cycle():
+            while cached:
+                for feats, labels in cached:
+                    yield {"feats": feats, "label": labels}
+
+        train_batches = cycle()
     for batch in train_batches:
-        feats = feature_fn(jnp.asarray(batch["visual"]), jnp.asarray(batch["audio"]))
+        feats = batch["feats"] if "feats" in batch else feature_fn(
+            jnp.asarray(batch["visual"]), jnp.asarray(batch["audio"])
+        )
         if params is None:
             params = head.init({"params": key, "dropout": key}, feats)["params"]
             opt_state = optimizer.init(params)

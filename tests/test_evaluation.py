@@ -336,6 +336,172 @@ class TestFullEvalChain:
         assert test_stats and test_stats[-1]["num_videos"] == 4
 
 
+class TestEvalProtocol:
+    """Reference downstream protocol (round-2 VERDICT #5): UCF101-style
+    3-official-split averaging, ESC-50-style 5-fold CV, and
+    NUM_ENSEMBLE_VIEWS x NUM_SPATIAL_CROPS test ensembling
+    (data/ucf101.py:16-269, data/esc50.py:17-188, utils/meters.py:522-689).
+    """
+
+    @staticmethod
+    def _write_dataset(root, rng, n=12, wide=True, membership="splits"):
+        """Wide frames (W > crop) so left/center/right crops differ."""
+        w = CROP * 2 if wide else CROP
+        items = []
+        for i in range(n):
+            label = i % 2
+            fname = f"clip{i}.npz"
+            audio = rng.randn(64000).astype(np.float32) * 0.1
+            if label == 1:
+                audio += 2.0
+            np.savez(
+                root / fname,
+                frames=rng.randint(0, 255, (12, CROP, w, 3)).astype(np.uint8),
+                audio=audio,
+                sample_rate=16000,
+                video_fps=4.0,
+            )
+            item = {"file": fname, "label": label}
+            if membership == "splits":
+                # rotate test membership: split s tests items with
+                # i % 3 == s - 1 -> each split has a distinct test set
+                item["splits"] = {
+                    str(s): "test" if i % 3 == s - 1 else "train"
+                    for s in (1, 2, 3)
+                }
+            elif membership == "folds":
+                item["fold"] = (i % 5) + 1
+            else:
+                item["split"] = "train" if i < n - 4 else "test"
+            items.append(item)
+        (root / "labels.json").write_text(
+            json.dumps({"classes": ["quiet", "loud"], "items": items})
+        )
+        return items
+
+    def test_uniform_crop_offsets(self):
+        # wide frames: 0/1/2 = left/center/right
+        assert ed.uniform_crop_offsets(32, 64, 32, 0) == (0, 0)
+        assert ed.uniform_crop_offsets(32, 64, 32, 1) == (0, 16)
+        assert ed.uniform_crop_offsets(32, 64, 32, 2) == (0, 32)
+        # tall frames: 0/1/2 = top/center/bottom
+        assert ed.uniform_crop_offsets(64, 32, 32, 0) == (0, 0)
+        assert ed.uniform_crop_offsets(64, 32, 32, 1) == (16, 0)
+        assert ed.uniform_crop_offsets(64, 32, 32, 2) == (32, 0)
+
+    def test_split_membership_and_view_crop_enumeration(self, tmp_path):
+        rng = np.random.RandomState(0)
+        self._write_dataset(tmp_path, rng, n=12, membership="splits")
+        for split_id in (1, 2, 3):
+            train_ds = ed.ClipClassificationDataset(
+                tmp_path, "train", split_id=split_id)
+            test_ds = ed.ClipClassificationDataset(
+                tmp_path, "test", num_ensemble_views=2, num_spatial_crops=3,
+                split_id=split_id)
+            assert len(train_ds) == 8 and len(test_ds) == 4
+            exs = list(test_ds.examples(rng, NUM_FRAMES, CROP))
+            # 4 videos x 2 temporal views x 3 spatial crops
+            assert len(exs) == 4 * 2 * 3
+            by_video = {}
+            for e in exs:
+                by_video.setdefault(e["video_index"], []).append(e["visual"])
+            for views in by_video.values():
+                assert len(views) == 6
+                # the 3 spatial crops of one temporal view are distinct
+                assert not np.array_equal(views[0], views[1])
+                assert not np.array_equal(views[1], views[2])
+        # splits have different test sets
+        t1 = {it["file"] for it in ed.ClipClassificationDataset(
+            tmp_path, "test", split_id=1).items}
+        t2 = {it["file"] for it in ed.ClipClassificationDataset(
+            tmp_path, "test", split_id=2).items}
+        assert t1 != t2
+
+    def test_fold_membership_partitions_exactly_once(self, tmp_path):
+        rng = np.random.RandomState(0)
+        items = self._write_dataset(tmp_path, rng, n=10, membership="folds")
+        seen_as_test = []
+        for fold in range(1, 6):
+            test_ds = ed.ClipClassificationDataset(tmp_path, "test", fold=fold)
+            train_ds = ed.ClipClassificationDataset(tmp_path, "train", fold=fold)
+            assert len(test_ds) + len(train_ds) == len(items)
+            seen_as_test += [it["file"] for it in test_ds.items]
+        assert sorted(seen_as_test) == sorted(it["file"] for it in items)
+
+    def test_run_protocol_splits_e2e(self, tmp_path):
+        """3 splits x 2 views x 3 crops end-to-end through run_protocol:
+        per-split results, split-averaged top-1/top-5, and per-video
+        score-sum ensembling (num_videos in test stats = videos, not
+        views x crops)."""
+        from acav100m_tpu.evaluation.config import load_config, run_task
+
+        rng = np.random.RandomState(3)
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        self._write_dataset(data_dir, rng, n=12, membership="splits")
+        _, state, _ = et.init_pretrain(
+            jax.random.PRNGKey(0), num_frames=NUM_FRAMES, crop=CROP)
+        ckpt = et.save_checkpoint(tmp_path, state, epoch=0)
+
+        cfg = load_config(overrides={
+            "task": "linear_eval",
+            "data.path": str(data_dir),
+            "data.batch_size": 4,
+            "data.num_frames": NUM_FRAMES,
+            "data.crop": CROP,
+            "data.num_ensemble_views": 2,
+            "data.num_spatial_crops": 3,
+            "eval.protocol": "splits",
+            "eval.mode": "audio",
+            "eval.num_steps": 6,
+            "eval.cache_features": True,
+            "checkpoint.pretrained": str(ckpt),
+            "checkpoint.dir": str(tmp_path / "run"),
+        })
+        (tmp_path / "run").mkdir()
+        result = run_task(cfg)
+        assert result["protocol"] == "splits"
+        assert set(result["per_run"]) == {"split1", "split2", "split3"}
+        top1s = [r["top1"] for r in result["per_run"].values()]
+        assert result["top1"] == pytest.approx(float(np.mean(top1s)))
+        stats = [
+            json.loads(l)
+            for l in (tmp_path / "run" / "stats.jsonl").read_text().splitlines()
+        ]
+        test_epochs = [s for s in stats if s["_type"] == "test_epoch"]
+        # one test epoch per split; scores ensembled down to 4 VIDEOS each
+        assert len(test_epochs) == 3
+        assert all(s["num_videos"] == 4 for s in test_epochs)
+
+    def test_run_protocol_folds_e2e(self, tmp_path):
+        from acav100m_tpu.evaluation.config import load_config, run_task
+
+        rng = np.random.RandomState(4)
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        self._write_dataset(data_dir, rng, n=10, membership="folds")
+        _, state, _ = et.init_pretrain(
+            jax.random.PRNGKey(0), num_frames=NUM_FRAMES, crop=CROP)
+        ckpt = et.save_checkpoint(tmp_path, state, epoch=0)
+
+        cfg = load_config(overrides={
+            "task": "linear_eval",
+            "data.path": str(data_dir),
+            "data.batch_size": 4,
+            "data.num_frames": NUM_FRAMES,
+            "data.crop": CROP,
+            "eval.protocol": "folds",
+            "eval.num_folds": 5,
+            "eval.mode": "audio",
+            "eval.num_steps": 4,
+            "eval.cache_features": True,
+            "checkpoint.pretrained": str(ckpt),
+        })
+        result = run_task(cfg)
+        assert set(result["per_run"]) == {f"fold{i}" for i in range(1, 6)}
+        assert 0.0 <= result["top1"] <= 100.0
+
+
 class TestOrbaxCheckpoint:
     def test_orbax_roundtrip(self, tmp_path):
         model, state, _ = et.init_pretrain(jax.random.PRNGKey(0), 2, 32)
