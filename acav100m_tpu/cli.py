@@ -18,10 +18,19 @@ covers the whole pipeline with the same dotted-key override style:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
 from .config import parse_overrides
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor the env var even under TPU platform plugins that overwrite it
+    # at import time (the tunneled 'axon' plugin does): re-assert the
+    # user's choice through the config API before backend init.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _overrides(tokens):
