@@ -26,11 +26,19 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 import json
+import os
 import tempfile
 import time
 from pathlib import Path
 
 import numpy as np
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor the env var even under TPU platform plugins that overwrite it
+    # at import time (the tunneled 'axon' plugin does)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 REFERENCE_CLIPS_PER_SEC_GPU = 16.0  # estimated, not published (BASELINE.md)
 TARGET_MULTIPLIER = 5.0
@@ -97,7 +105,8 @@ def _cost_analysis(fn, *args):
     import jax
 
     try:
-        compiled = jax.jit(fn).lower(*args).compile()
+        jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+        compiled = jitted.lower(*args).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
@@ -146,7 +155,8 @@ def _write_production_shards(out_dir: Path, num_shards: int, clips_per_shard: in
     return count
 
 
-def bench_e2e(extract, params, batch):
+def bench_e2e(extract, params, batch, num_frames=32, size=256,
+              audio_len=160000):
     """Decode-inclusive throughput: tar shards -> worker pool -> device.
 
     Returns (host-only clips/s per worker count, overlapped e2e clips/s,
@@ -159,7 +169,7 @@ def bench_e2e(extract, params, batch):
 
     import os
 
-    num_shards, clips_per_shard = 8, 8
+    num_shards, clips_per_shard = (8, 8) if size >= 256 else (2, 4)
     total = num_shards * clips_per_shard
     cores = os.cpu_count() or 1
     # worker processes can only help with >1 core (production TPU-VM hosts
@@ -167,7 +177,9 @@ def bench_e2e(extract, params, batch):
     worker_counts = sorted({0, min(4, cores), min(8, cores)} if cores > 1 else {0})
     with tempfile.TemporaryDirectory(prefix="acav_bench_") as td:
         root = Path(td)
-        _write_production_shards(root, num_shards, clips_per_shard)
+        _write_production_shards(root, num_shards, clips_per_shard,
+                                 num_frames=num_frames, size=size,
+                                 audio_len=audio_len)
         shards = sorted(root.glob("shard-*.tar"))
         metas, _ = load_metadata(shards)
 
@@ -183,7 +195,7 @@ def bench_e2e(extract, params, batch):
             assert n == total
 
         # H2D bandwidth (one production batch of frames)
-        probe = np.zeros((batch, 32, 256, 256, 3), np.uint8)
+        probe = np.zeros((batch, num_frames, size, size, 3), np.uint8)
         d = jax.device_put(probe[:2]); _sync(jnp.sum(d))
         t0 = time.perf_counter()
         d = jax.device_put(probe); _sync(jnp.sum(d))
@@ -204,7 +216,7 @@ def bench_e2e(extract, params, batch):
                     jax.device_put(b["frames"]),
                     jax.device_put(b["audio"]),
                     jax.device_put(b.get("valid_samples",
-                                         np.full(batch, 160000, np.int32))),
+                                         np.full(batch, audio_len, np.int32))),
                     int(np.sum(b["batch_mask"])),
                 )
 
@@ -305,12 +317,18 @@ def main():
         make_extract_fn,
     )
 
+    import os
+
     rng = np.random.RandomState(0)
     # measured on v5e (blocked-T, bf16): 2.59 ms/clip @64, 2.10 @128,
     # 2.02 @256, 2.03 @384 -> 256 saturates
     batch = 256
     e2e_batch = 64  # loader batch for the decode-inclusive path
     num_frames, size, audio_len = 32, 256, 160000
+    smoke = bool(os.environ.get("ACAV_BENCH_SMOKE"))
+    if smoke:  # code-path validation at toy shapes — NOT a measurement
+        batch, e2e_batch = 8, 4
+        num_frames, size, audio_len = 8, 64, 16000
 
     # -- stage 4: fused SlowFast+VGGish extraction ---------------------------
     # bf16 conv stacks: the production extraction config (features are cast
@@ -333,8 +351,9 @@ def main():
 
     # MFU from XLA-counted flops (round-2 VERDICT weak #2: make MFU a
     # measured artifact, not a narrative claim)
+    # `extract` is already jitted — lower/compile hits the executable cache
     extract_flops, extract_bytes = _cost_analysis(
-        lambda p, f, a, v: extract(p, f, a, v), params, frames, audio, valid
+        extract, params, frames, audio, valid
     )
     device_kind, peak_tflops, hbm_gbps = _device_peaks()
     achieved_tflops = (
@@ -348,7 +367,7 @@ def main():
 
     # -- stage 5: fused 10-way k-means (train 2 epochs + assign) -------------
     m, k, dmax = 10, 32, 2304
-    kbatch_size = 1024
+    kbatch_size = 1024 if not smoke else 64
     state = kmeans.init_state(jax.random.PRNGKey(0), [dmax] * m, k, dmax)
     state = state._replace(count=jnp.asarray(10 * k * 10, jnp.int32))
     kbatch = jnp.asarray(rng.randn(m, kbatch_size, dmax), jnp.float32)
@@ -363,8 +382,8 @@ def main():
     t_cluster = epochs * t_train + t_assign
 
     # -- stage 6: batched greedy MI selection --------------------------------
-    v, d, c = 20000, 10, 32
-    sel_batch, sel_k = 1024, 205  # |S|=0.2V in V/B rounds => k ~ 0.2*B
+    v, d, c = (20000, 10, 32) if not smoke else (2000, 10, 32)
+    sel_batch, sel_k = (1024, 205) if not smoke else (128, 26)  # k ~ 0.2*B
     assignments = rng.randint(0, c, (v, d))
     pairs = get_cluster_pairing([("x", f"l{i}") for i in range(d)], "combination")
     selector = mi.BatchGreedySelector(
@@ -410,12 +429,13 @@ def main():
 
     # -- decode-inclusive end-to-end -----------------------------------------
     host_rates, e2e, h2d_gbps, best_nw, cores = bench_e2e(
-        extract, params, e2e_batch
+        extract, params, e2e_batch,
+        num_frames=num_frames, size=size, audio_len=audio_len,
     )
 
     # reconstructed overlapped rate: with decode, H2D, and compute fully
     # pipelined, throughput = the slowest leg. bytes/clip = frames + audio.
-    clip_bytes = 32 * 256 * 256 * 3 + 160000 * 4
+    clip_bytes = num_frames * size * size * 3 + audio_len * 4
     h2d_clips_per_sec = h2d_gbps * 1e9 / clip_bytes
     extract_clips_per_sec = 1.0 / t_extract
     best_host_rate = max(host_rates.values())
@@ -491,6 +511,7 @@ def main():
                     "device": str(jax.devices()[0]),
                     "extract_batch": batch,
                     "extract_dtype": "bfloat16",
+                    **({"smoke": True} if smoke else {}),
                     **(
                         {"per_stage_ms": bench_stages()}
                         if __import__("os").environ.get("ACAV_BENCH_STAGES")
