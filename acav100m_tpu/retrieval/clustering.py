@@ -49,8 +49,14 @@ class Clustering:
 
 
 def sgd_kmeans(features: np.ndarray, ncentroids: int, seed: int = 0,
-               epochs: int = 10, batch_size: int = 256) -> Clustering:
-    """Single-view SGD k-means via the stage-5 fused implementation."""
+               epochs: int = 20, batch_size: int = 64) -> Clustering:
+    """Single-view SGD k-means via the stage-5 fused implementation.
+
+    Defaults follow the reference's retrieval frontend
+    (``correspondence_retrieval/code/sgd_clustering.py:29-46``): 20 epochs
+    of batch-64 updates with lr ``0.1**(2+epoch//5)``, EVERY sample seen
+    each epoch (the tail batch runs at its own shape — dropping it starved
+    small datasets of most of their updates and produced noise clusters)."""
     import jax
     import jax.numpy as jnp
 
@@ -64,13 +70,10 @@ def sgd_kmeans(features: np.ndarray, ncentroids: int, seed: int = 0,
     for epoch in range(epochs):
         order = rng.permutation(v)
         lr = kmeans.lr_schedule(epoch)
-        for i in range(0, v - batch_size + 1, batch_size):
+        for i in range(0, v, batch_size):
             key, sub = jax.random.split(key)
             batch = jnp.asarray(features[None, order[i : i + batch_size]])
             state, _ = step(state, batch, lr, sub)
-        if v < batch_size:
-            key, sub = jax.random.split(key)
-            state, _ = step(state, jnp.asarray(features[None]), lr, sub)
     centers = np.asarray(state.centers[0])
     assignments = np.asarray(
         kmeans.assign_step(state, jnp.asarray(features[None]))

@@ -209,7 +209,16 @@ def _set_worker_platform():
 
 def _grid_worker(payload):
     kwargs, out_path, views = payload
-    return run_experiment(views=views, out_path=out_path, **kwargs)
+    kwargs = dict(kwargs)
+    data_name = kwargs.pop("data_name", None)
+    if views is None and data_name is not None:
+        from .features import views_for_data_name
+
+        views = views_for_data_name(data_name, seed=kwargs.get("seed", 0))
+    result = run_experiment(views=views, out_path=out_path, **kwargs)
+    if data_name is not None:
+        result["data_name"] = data_name
+    return result
 
 
 # reference grid-json key spellings -> run_experiment kwargs
@@ -224,6 +233,18 @@ REFERENCE_KEY_ALIASES = {
 # reference clustering_func_type values -> our method names
 _CLUSTERING_ALIASES = {"sgd_kmeans": "sgd", "faiss_kmeans": "sklearn",
                        "scipy_kmeans": "sklearn++", "pca": "pca"}
+# reference measure names bundle the optimizer choice
+# (correspondence_retrieval measures/__init__.py:23-66)
+_MEASURE_TRANSLATIONS = {
+    "efficient_batch_mi": {"optimizer": "efficient_batch", "measure": "mi"},
+    "efficient_mi": {"optimizer": "efficient_greedy", "measure": "mi"},
+    "efficient_ami": {"optimizer": "efficient_greedy", "measure": "ami"},
+    "efficient_nmi": {"optimizer": "efficient_greedy", "measure": "nmi"},
+    "constant": {"optimizer": "efficient_greedy", "measure": "constant"},
+    "fm": {"optimizer": "efficient_greedy", "measure": "fm"},
+    "rand": {"optimizer": "efficient_greedy", "measure": "rand"},
+    "arand": {"optimizer": "efficient_greedy", "measure": "arand"},
+}
 
 
 def load_option_grid(path) -> List[Dict]:
@@ -255,15 +276,30 @@ def load_option_grid(path) -> List[Dict]:
         for d in combo:
             merged.update(d)
         kwargs: Dict = {}
+        nexprs = 1
         for k, v in merged.items():
             k = REFERENCE_KEY_ALIASES.get(k, k)
+            if k == "selection_size":
+                # in the reference grids selection_size is the per-batch
+                # top-k fed to EfficientBatchMI, not the subset size
+                k = "batch_selection_size"
             if k == "clustering_method":
                 v = _CLUSTERING_ALIASES.get(v, v)
+            if k == "measure" and v in _MEASURE_TRANSLATIONS:
+                kwargs.update(_MEASURE_TRANSLATIONS[v])
+                continue
+            if k == "nexprs":  # reference: repeat each config N times
+                nexprs = int(v)
+                continue
+            if k == "data_name":  # resolved to views by the grid worker
+                kwargs[k] = v
+                continue
             if k in known:
                 kwargs[k] = v
             else:
                 dropped.add(k)
-        jobs.append(kwargs)
+        for rep in range(max(nexprs, 1)):
+            jobs.append({**kwargs, "seed": kwargs.get("seed", 0) + rep})
     if dropped:
         warnings.warn(
             f"grid keys with no counterpart here were dropped: {sorted(dropped)}"

@@ -372,6 +372,40 @@ def test_batchmi_full_trajectory_parity(sel):
         assert set(my_S[r : r + k]) == set(ref_S[r : r + k]), f"round {r // k}"
 
 
+def test_retrieval_sgd_collapse_parity(km_mod):
+    """Behavioral parity on a DEGENERATE regime: at stand-in dataset scale
+    (hundreds of samples, 2048-dim whitened features) the reference's
+    retrieval SGD k-means collapses every sample into one cluster — and so
+    does the repo's port, identically. Pins why the committed grid table
+    (examples/reference_grid_table.py) swaps the sgd frontend for the faiss
+    stand-in; the paper-scale runs (60k MNIST) are above this regime.
+    Reference: correspondence_retrieval/code/sgd_clustering.py:29-62."""
+    import torch
+
+    from acav100m_tpu.retrieval.clustering import sgd_kmeans, whiten
+
+    from acav100m_tpu.retrieval.features import (
+        ImageFeatureExtractor,
+        synthetic_digits,
+    )
+
+    retr = ro.import_stage("correspondence_retrieval", ["sgd_clustering"])[
+        "sgd_clustering"
+    ]
+    # the regime needs the real feature distribution: random-init ResNet
+    # taps of structured images (2048-dim, strongly anisotropic)
+    images, labels = synthetic_digits(nclasses=10, per_class=30, size=32,
+                                      seed=6)
+    feats = whiten(
+        ImageFeatureExtractor(size=32).extract(images)["layer_3"]
+    ).astype(np.float32)
+    with ro.patch_cuda():
+        ref_assign = retr._sgd_kmeans_clustering(feats, 10, kmeans_niters=20)
+    mine = sgd_kmeans(feats, 10, seed=3)
+    assert len(set(ref_assign.tolist())) == 1, "regime changed — update test"
+    assert len(set(mine.assignments.tolist())) == 1
+
+
 def test_kmeans_schedule_matches_reference():
     """lr schedule 0.1 ** (2 + epoch // 5) (run_clustering.py:165-168)."""
     from acav100m_tpu.ops.kmeans import lr_schedule

@@ -305,18 +305,49 @@ class TestGridFile:
             [{"measure_type": "mi"}, {"measure_type": "nmi"}],
             [{"cluster_pairing": "combination",
               "clustering_func_type": "sgd_kmeans"}],
-            [{"nexprs": 5, "num_shards": None}],  # no counterpart -> dropped
+            [{"nexprs": 2, "num_shards": None}],  # num_shards -> dropped
         ]
         p = tmp_path / "grid.json"
         p.write_text(json.dumps(grid))
         with pytest.warns(UserWarning, match="dropped"):
             jobs = load_option_grid(p)
+        # nexprs expands each config into seed replicates (reference
+        # grid_search.py repeats every configuration nexprs times)
         assert jobs == [
             {"measure": "mi", "pairing": "combination",
-             "clustering_method": "sgd"},
+             "clustering_method": "sgd", "seed": 0},
+            {"measure": "mi", "pairing": "combination",
+             "clustering_method": "sgd", "seed": 1},
             {"measure": "nmi", "pairing": "combination",
-             "clustering_method": "sgd"},
+             "clustering_method": "sgd", "seed": 0},
+            {"measure": "nmi", "pairing": "combination",
+             "clustering_method": "sgd", "seed": 1},
         ]
+
+    def test_load_reference_measure_and_batch_translation(self, tmp_path):
+        """The reference's measure names bundle the optimizer, its
+        selection_size is the per-batch top-k, and data_name is kept for
+        the worker's views factory (ours.json shape)."""
+        import json
+
+        from acav100m_tpu.retrieval.runner import load_option_grid
+
+        grid = [
+            [{"data_name": "image_pair_mnist_sound"}],
+            [{"measure": "efficient_batch_mi"}],
+            [{"batch_size": 100, "selection_size": 25}],
+        ]
+        p = tmp_path / "grid.json"
+        p.write_text(json.dumps(grid))
+        jobs = load_option_grid(p)
+        assert jobs == [{
+            "data_name": "image_pair_mnist_sound",
+            "optimizer": "efficient_batch",
+            "measure": "mi",
+            "batch_size": 100,
+            "batch_selection_size": 25,
+            "seed": 0,
+        }]
 
     def test_load_dict_format(self, tmp_path):
         import json
