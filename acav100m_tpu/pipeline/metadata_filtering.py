@@ -183,12 +183,20 @@ class HeuristicLanguageDetector:
 
 class FastTextLanguageDetector:
     """fastText ``lid.176.ftz`` backend (the reference's detector,
-    filter.py:123-148). Gated on package + model file availability."""
+    filter.py:123-148). Uses the fasttext package when installed, else the
+    bundled pure-numpy ``.ftz`` reader (``fasttext_ftz``) — so the REAL
+    model runs even without the native package. Gated only on the model
+    file."""
 
     def __init__(self, model_path):
-        import fasttext  # noqa: gated import
+        try:
+            import fasttext
 
-        self.model = fasttext.load_model(str(model_path))
+            self.model = fasttext.load_model(str(model_path))
+        except ImportError:
+            from .fasttext_ftz import load_model
+
+            self.model = load_model(model_path)
 
     def run(self, text: str) -> str:
         return self.model.predict(text, k=1)[0][0][-2:]
