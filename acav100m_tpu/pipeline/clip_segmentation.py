@@ -144,6 +144,74 @@ class ArrayVideoBackend:
         return max(corr, 0.0) * 100.0
 
 
+class OpenCVVideoBackend:
+    """Real-video stage-3 backend via OpenCV's BUNDLED FFmpeg (no external
+    binary): decode once, SBD on the decoded frames (the ArrayVideoBackend
+    scdet-style math), and clips re-encoded as REAL mp4 files (mp4v — the
+    reference's ``-c copy`` stream copy needs the ffmpeg binary,
+    extract_clips.py:88-94). Executes the full stage-3 contract on
+    compressed video in environments without ffmpeg/PyAV."""
+
+    def __init__(self, in_filepath):
+        import cv2
+
+        cap = cv2.VideoCapture(str(in_filepath))
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot open video {in_filepath}")
+        self.fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        frames = []
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        cap.release()
+        if not frames:
+            raise RuntimeError(f"no frames in {in_filepath}")
+        self._arr = ArrayVideoBackend(np.stack(frames), self.fps)
+
+    def duration(self) -> float:
+        return self._arr.duration()
+
+    def detect_shots(self, threshold: float) -> Tuple[List[float], List[float]]:
+        return self._arr.detect_shots(threshold)
+
+    def extract_clip(self, start: float, end: float, out_path) -> str:
+        import cv2
+
+        out_path = str(out_path)
+        clip = self._arr._clip_array(start, end)
+        h, w = clip.shape[1:3]
+        writer = cv2.VideoWriter(
+            out_path, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
+        )
+        for frame in clip:
+            writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        writer.release()
+        return out_path
+
+    def similarity(self, path_a, path_b) -> float:
+        import cv2
+
+        def signature(path):
+            cap = cv2.VideoCapture(str(path))
+            acc, n = None, 0
+            while True:
+                ret, frame = cap.read()
+                if not ret:
+                    break
+                f = frame.astype(np.float32)
+                acc = f if acc is None else acc + f
+                n += 1
+            cap.release()
+            return (acc / max(n, 1)).ravel() if acc is not None else np.zeros(1)
+
+        sig_a, sig_b = signature(path_a), signature(path_b)
+        na = np.linalg.norm(sig_a) or 1.0
+        nb = np.linalg.norm(sig_b) or 1.0
+        return max(float(np.dot(sig_a, sig_b) / (na * nb)), 0.0) * 100.0
+
+
 # -- pure algorithmics (ports) -----------------------------------------------------
 
 def get_valid_clips(sb: List[float], min_duration: float,
