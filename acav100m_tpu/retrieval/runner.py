@@ -159,6 +159,35 @@ def run_experiment(
         order, gains = OPTIMIZERS[optimizer](
             oracle, der["dataset_size"], subset_size, start
         )
+    elif optimizer == "contrastive":
+        # the MetricLearning measure (reference measures/metric.py:47-155 +
+        # contrastive.py): train the two-projection InfoNCE probe on the
+        # deranged pair features, rank every sample by aligned-projection
+        # inner product — matched pairs align, deranged ones don't
+        from ..pipeline.contrastive_selection import (
+            alignment_scores,
+            train_probe,
+        )
+
+        groups: Dict[str, list] = {}
+        for k in sorted(feats):
+            groups.setdefault(k.split("-", 1)[0], []).append(k)
+        if len(groups) != 2:
+            raise ValueError(
+                f"contrastive needs exactly two view groups, got {sorted(groups)}"
+            )
+        side_a, side_b = sorted(groups)
+        va = feats[groups[side_a][-1]]  # penultimate = last layer per side
+        vb = feats[groups[side_b][-1]]
+        # small experiment datasets need the step count, not the epoch
+        # count, held roughly constant (the reference trains at 100M-clip
+        # scale where 3 epochs is plenty, run_contrastive.py)
+        steps_per_epoch = max(len(va) // min(128, len(va)), 1)
+        epochs = max(3, -(-300 // steps_per_epoch))
+        params = train_probe(va, vb, num_epochs=epochs, seed=seed)
+        scores = alignment_scores(params, va, vb)
+        order = np.argsort(-scores).tolist()
+        gains = np.sort(scores)[::-1].tolist()
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")
 
@@ -244,6 +273,7 @@ _MEASURE_TRANSLATIONS = {
     "fm": {"optimizer": "efficient_greedy", "measure": "fm"},
     "rand": {"optimizer": "efficient_greedy", "measure": "rand"},
     "arand": {"optimizer": "efficient_greedy", "measure": "arand"},
+    "contrastive": {"optimizer": "contrastive", "measure": "mi"},
 }
 
 

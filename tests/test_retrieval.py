@@ -324,6 +324,29 @@ class TestGridFile:
              "clustering_method": "sgd", "seed": 1},
         ]
 
+    def test_contrastive_optimizer_recovers_matched_pairs(self):
+        """The MetricLearning/contrastive measure (reference
+        measures/metric.py + measures/contrastive/): train the InfoNCE
+        probe on deranged pair features, rank by aligned inner product —
+        matched pairs carry the shared per-sample latent the deranged ones
+        lack."""
+        from acav100m_tpu.retrieval.runner import (
+            gaussian_pair_views,
+            run_experiment,
+        )
+
+        views = gaussian_pair_views(nclasses=6, per_class=20, num_layers=1,
+                                    noise=0.2, seed=5)
+        res = run_experiment(views=views, ncentroids=6,
+                             clustering_method="sklearn",
+                             optimizer="contrastive", seed=0)
+        base = run_experiment(views=views, ncentroids=6,
+                              clustering_method="sklearn",
+                              measure="constant",
+                              optimizer="efficient_greedy", seed=0)
+        assert res["f1"] >= 0.9
+        assert res["f1"] > base["f1"] + 0.2
+
     def test_load_reference_measure_and_batch_translation(self, tmp_path):
         """The reference's measure names bundle the optimizer, its
         selection_size is the per-batch top-k, and data_name is kept for
