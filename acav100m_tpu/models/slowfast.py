@@ -577,6 +577,135 @@ class QuantStage(nn.Module):
         return x
 
 
+class QuantBlockedBottleneck(nn.Module):
+    """``BlockedBottleneck`` with int8 conv arithmetic — same parameter
+    tree, plus one abs-max observer per conv input (``quant`` collection).
+
+    The canonical kernel is expanded to blocked-T form first
+    (``_blocked_temporal_kernel``) and THEN quantized per blocked output
+    channel, so the zero-padding entries the expansion inserts stay exact
+    zeros in int8. Blocked layout and int8 compound on the fast pathway:
+    blocking multiplies the contraction/output lanes by bt (fixing the
+    8-256-channel MXU under-fill) and int8 doubles the MXU rate and halves
+    the HBM activation bytes on top. See ``models/quant.py`` for why
+    activation scales are static.
+    """
+
+    dim_out: int
+    dim_inner: int
+    temp_kernel: int
+    bt: int
+    spatial_stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mode: str = "int8"):
+        from .quant import ActObserver, quantize_act, weight_qparams
+
+        bt, s = self.bt, self.spatial_stride
+        dim_in = x.shape[-1] // bt
+        kt = self.temp_kernel
+        need_proj = (dim_in != self.dim_out) or (s != 1)
+
+        k1 = (_ConvKernel((1, 1, 1, dim_in, self.dim_out), name="branch1")()
+              if need_proj else None)
+        ka = _ConvKernel((kt, 1, 1, dim_in, self.dim_inner),
+                         name="branch2_a")()
+        kb = _ConvKernel((1, 3, 3, self.dim_inner, self.dim_inner),
+                         name="branch2_b")()
+        kc = _ConvKernel((1, 1, 1, self.dim_inner, self.dim_out),
+                         name="branch2_c")()
+
+        q_in = ActObserver(name="q_in")
+        q_a = ActObserver(name="q_a")
+        q_b = ActObserver(name="q_b")
+
+        def qbconv(xq, sx, kernel, spatial_stride=1):
+            wb, (lo, hi) = _blocked_temporal_kernel(kernel, bt)
+            kh, kw = kernel.shape[1], kernel.shape[2]
+            wq, sw = weight_qparams(wb)
+            y = jax.lax.conv_general_dilated(
+                xq, wq,
+                window_strides=(1, spatial_stride, spatial_stride),
+                padding=((lo, hi), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            return (y.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
+
+        if mode == "int8":
+            s_in = q_in(None, mode)
+            xq = quantize_act(x, s_in)
+            if need_proj:
+                shortcut = _bn_blocked(
+                    BN(self.dtype, name="branch1_bn"),
+                    qbconv(xq, s_in, k1, s), bt)
+            else:
+                shortcut = (xq.astype(jnp.float32) * s_in).astype(self.dtype)
+            h = qbconv(xq, s_in, ka)
+            h = nn.relu(_bn_blocked(BN(self.dtype, name="branch2_a_bn"),
+                                    h, bt))
+            s_a = q_a(None, mode)
+            h = qbconv(quantize_act(h, s_a), s_a, kb, s)
+            h = nn.relu(_bn_blocked(BN(self.dtype, name="branch2_b_bn"),
+                                    h, bt))
+            s_b = q_b(None, mode)
+            h = qbconv(quantize_act(h, s_b), s_b, kc)
+        else:  # calib: canonical blocked fp math + observer updates
+            q_in(x, mode)
+            if need_proj:
+                shortcut = _bn_blocked(
+                    BN(self.dtype, name="branch1_bn"),
+                    _blocked_conv(x, k1, bt, self.dtype, spatial_stride=s),
+                    bt)
+            else:
+                shortcut = x
+            h = nn.relu(_bn_blocked(
+                BN(self.dtype, name="branch2_a_bn"),
+                _blocked_conv(x, ka, bt, self.dtype), bt))
+            q_a(h, mode)
+            h = nn.relu(_bn_blocked(
+                BN(self.dtype, name="branch2_b_bn"),
+                _blocked_conv(h, kb, bt, self.dtype, spatial_stride=s), bt))
+            q_b(h, mode)
+            h = _blocked_conv(h, kc, bt, self.dtype)
+        h = _bn_blocked(
+            nn.BatchNorm(
+                use_running_average=True, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, scale_init=nn.initializers.zeros,
+                name="branch2_c_bn",
+            ),
+            h, bt,
+        )
+        return nn.relu(shortcut + h)
+
+
+class QuantBlockedStage(nn.Module):
+    """``BlockedStage`` in int8 mode (same parameter tree + observers)."""
+
+    num_blocks: int
+    dim_out: int
+    dim_inner: int
+    temp_kernel: int
+    spatial_stride: int
+    bt: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mode: str = "int8"):
+        for i in range(self.num_blocks):
+            x = QuantBlockedBottleneck(
+                dim_out=self.dim_out,
+                dim_inner=self.dim_inner,
+                temp_kernel=self.temp_kernel,
+                bt=self.bt,
+                spatial_stride=self.spatial_stride if i == 0 else 1,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, mode)
+        return x
+
+
 class BlockedFuse(nn.Module):
     """``FuseFastToSlow`` reading the fast pathway in blocked-T layout
     (same parameter tree); emits the canonical concatenated slow tensor."""
@@ -765,10 +894,11 @@ class SlowFastBackbone(nn.Module):
     # kernel — one frame resident in VMEM per step, whole stage fused
     # (ops/pallas/bottleneck_kernel.py)
     pallas_stages: bool = False
-    # 'int8': slow s2..s5 run int8 convs with statically calibrated
-    # activation scales (models/quant.py) — documented-numerics throughput
-    # mode, never bit-match-eligible. Takes precedence over pallas_stages
-    # on the slow pathway.
+    # 'int8': s2..s5 on BOTH pathways run int8 convs with statically
+    # calibrated activation scales (models/quant.py; blocked-T fast
+    # stages quantize the blocked kernels). Documented-numerics
+    # throughput mode, never bit-match-eligible. Takes precedence over
+    # pallas_stages on the slow pathway.
     quant: str = "none"
 
     @nn.compact
@@ -832,12 +962,21 @@ class SlowFastBackbone(nn.Module):
                     self.dtype, name=f"s{si + 2}_slow",
                 )(slow)
             if cur > 1:
-                fast = BlockedStage(
+                fast_cls = (QuantBlockedStage if self.quant != "none"
+                            else BlockedStage)
+                fast = fast_cls(
                     STAGE_BLOCKS[si], dims_out[si] // BETA_INV,
                     dims_inner[si] // BETA_INV,
                     FAST_TEMP_KERNELS[si + 1], SPATIAL_STRIDES[si], cur,
                     self.dtype, name=f"s{si + 2}_fast",
-                )(fast)
+                )(*((fast, qmode) if self.quant != "none" else (fast,)))
+            elif self.quant != "none":
+                fast = QuantStage(
+                    STAGE_BLOCKS[si], dims_out[si] // BETA_INV,
+                    dims_inner[si] // BETA_INV,
+                    FAST_TEMP_KERNELS[si + 1], SPATIAL_STRIDES[si],
+                    self.dtype, name=f"s{si + 2}_fast",
+                )(fast, qmode)
             else:
                 fast = Stage(
                     STAGE_BLOCKS[si], dims_out[si] // BETA_INV,

@@ -533,9 +533,10 @@ def main():
                     ),
                     "int8_note": (
                         int8_error or
-                        "slow-pathway int8 convs, static one-batch "
-                        "calibration; documented-numerics mode, not "
-                        "bit-match-eligible (models/quant.py, "
+                        "int8 s2..s5 convs on both pathways (blocked-T "
+                        "fast kernels quantized in blocked form), static "
+                        "one-batch calibration; documented-numerics mode, "
+                        "not bit-match-eligible (models/quant.py, "
                         "tests/test_quant.py)"
                     ),
                     "extract_flops_per_batch": extract_flops,

@@ -122,6 +122,47 @@ class TestQuantBackbone:
             assert cos > 0.995, f"layer {i}: cosine {cos}"
             assert rel < 0.1, f"layer {i}: rel L2 {rel}"
 
+    def test_blocked_param_tree_matches_blocked(self):
+        """With a fast_block schedule, the quant backbone's params +
+        batch_stats trees equal the blocked backbone's (QuantBlockedStage
+        mirrors BlockedStage's checkpoint layout)."""
+        slow, fast = self._data()
+        fb = (4, 4, 4, 4, 4)
+        v_plain = SlowFastBackbone(fast_block=fb).init(
+            jax.random.PRNGKey(0), slow, fast)
+        v_q = SlowFastBackbone(fast_block=fb, quant="int8").init(
+            jax.random.PRNGKey(0), slow, fast)
+        for coll in ("params", "batch_stats"):
+            assert (jax.tree_util.tree_structure(v_plain[coll])
+                    == jax.tree_util.tree_structure(v_q[coll])), coll
+            for a, b in zip(jax.tree_util.tree_leaves(v_plain[coll]),
+                            jax.tree_util.tree_leaves(v_q[coll])):
+                assert a.shape == b.shape
+
+    def test_blocked_calib_exact_and_int8_close(self):
+        """Blocked-T + quant: calib mode reproduces the blocked backbone's
+        fp taps exactly; calibrated int8 tracks them closely."""
+        slow, fast = self._data(5)
+        fb = (4, 4, 4, 4, 4)
+        plain = SlowFastBackbone(fast_block=fb)
+        v = _randomize_bn(plain.init(jax.random.PRNGKey(0), slow, fast))
+        qbb = SlowFastBackbone(fast_block=fb, quant="int8")
+        vq = dict(v)
+        vq["quant"] = qbb.init(jax.random.PRNGKey(0), slow, fast)["quant"]
+        t_fp = plain.apply(v, slow, fast)
+        t_calib, upd = qbb.apply(vq, slow, fast, quant_mode="calib",
+                                 mutable=["quant"])
+        for a, b in zip(t_fp, t_calib):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        vq["quant"] = upd["quant"]
+        t_q = qbb.apply(vq, slow, fast)
+        for i, (a, b) in enumerate(zip(t_fp, t_q)):
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+            assert cos > 0.995, f"layer {i}: cosine {cos}"
+
     def test_uncalibrated_int8_is_finite(self):
         """Scale floor keeps the uncalibrated path finite (no div-by-0)."""
         slow, fast = self._data(4)
