@@ -60,7 +60,7 @@ def cmd_segment(args):
 
     from .pipeline.clip_segmentation import (
         DEFAULT_SEED,
-        FfmpegVideoBackend,
+        open_video_backend,
         segment_video,
     )
 
@@ -68,7 +68,7 @@ def cmd_segment(args):
     video_dir = Path(args.video_dir)
     count = 0
     for path in sorted(video_dir.glob("*.mp4")):
-        backend = FfmpegVideoBackend(path)
+        backend = open_video_backend(path, getattr(args, "backend", "auto"))
         clips, paths = segment_video(
             backend, args.out_dir, path.stem,
             num_clips=args.num_clips, sampling=args.sampling, rng=rng,
@@ -294,12 +294,14 @@ def main(argv=None):
     p.add_argument("--source_dir", default=None)
     p.set_defaults(fn=cmd_download)
 
-    p = sub.add_parser("segment", help="stage 3: clip segmentation (ffmpeg)")
+    p = sub.add_parser("segment", help="stage 3: clip segmentation")
     p.add_argument("video_dir")
     p.add_argument("out_dir")
     p.add_argument("--num_clips", type=int, default=3)
     p.add_argument("--sampling", default="diversity_greedy")
     p.add_argument("--seed", type=int, default=98052)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "native", "ffmpeg", "opencv"])
     p.set_defaults(fn=cmd_segment)
 
     for verb, fn, help_ in (

@@ -238,6 +238,44 @@ class OpenCVVideoDecoder:
             return None
 
 
+class NativeAvDecoder:
+    """mp4 bytes -> frames + REAL audio via the native FFmpeg library
+    bindings (``data/native_av.py`` / ``native/avio.cc``): in-memory demux
+    (no temp files), libavcodec video + AAC audio decode, swresample to
+    mono ``sample_rate``. This is the full equivalent of the reference's
+    PyAV path (``data/video.py:69-163``) — the audio stream included —
+    with no external binary or package."""
+
+    def __init__(self, size: int = 256, sample_rate: int = 16000):
+        self.size = size
+        self.sample_rate = sample_rate
+
+    @property
+    def available(self) -> bool:
+        from . import native_av
+
+        return native_av.available()
+
+    def __call__(self, data: bytes) -> Optional[Dict]:
+        from . import native_av
+
+        dec = native_av.decode(data=data, size=self.size,
+                               sample_rate=self.sample_rate)
+        if dec is None or dec["frames"].shape[0] == 0:
+            return None
+        return {
+            "frames": dec["frames"],
+            "audio": dec["audio"],
+            "sample_rate": self.sample_rate,
+            "video_fps": float(dec["video_fps"]) or
+            dec["frames"].shape[0] / max(dec["duration"], 1e-6),
+        }
+
+    def decode_path(self, path) -> Optional[Dict]:
+        with open(path, "rb") as f:
+            return self(f.read())
+
+
 def get_decoder(name: str = "npz", **kwargs):
     if name == "npz":
         return decode_npz
@@ -245,15 +283,21 @@ def get_decoder(name: str = "npz", **kwargs):
         return FfmpegCliDecoder(**kwargs)
     if name == "opencv":
         return OpenCVVideoDecoder(**kwargs)
+    if name == "native":
+        return NativeAvDecoder(**kwargs)
     if name == "auto":
-        # best available mp4 backend: the ffmpeg binary (full audio+video)
-        # when present, else OpenCV's bundled libavcodec (video-only)
+        # best available mp4 backend: the native FFmpeg-library decoder
+        # (full audio+video, in-memory) when it builds, else the ffmpeg
+        # binary, else OpenCV's bundled libavcodec (video-only)
+        common = {k: v for k, v in kwargs.items()
+                  if k in ("size", "sample_rate")}
+        native = NativeAvDecoder(**common)
+        if native.available:
+            return native
         dec = FfmpegCliDecoder(**kwargs)
         if dec.available:
             return dec
-        return OpenCVVideoDecoder(
-            **{k: v for k, v in kwargs.items() if k in ("size", "sample_rate")}
-        )
+        return OpenCVVideoDecoder(**common)
     raise ValueError(f"unknown decoder {name!r}")
 
 

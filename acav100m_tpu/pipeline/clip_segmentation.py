@@ -212,6 +212,90 @@ class OpenCVVideoBackend:
         return max(float(np.dot(sig_a, sig_b) / (na * nb)), 0.0) * 100.0
 
 
+class NativeAvVideoBackend:
+    """Stage-3 backend on the native FFmpeg-library bindings
+    (``data/native_av.py``): SBD from per-frame scdet scores computed on
+    the decoded YUV planes by ``native/avio.cc`` (the exact mafd/diff math
+    of ffmpeg's vf_scdet, which the reference drives via the binary,
+    extract_clips.py:54-62), and clip extraction by keyframe-snapped
+    stream copy (``av_remux_clip`` = ``ffmpeg -ss .. -c copy``,
+    extract_clips.py:88-94). Decodes scores once; annealing just
+    re-thresholds. Similarity = mean-frame signature correlation on
+    decoded clips (the ffmpeg ``signature`` filter needs libavfilter,
+    absent in-image)."""
+
+    def __init__(self, in_filepath, sbd_size: int = 0):
+        from ..data import native_av
+
+        if not native_av.available():
+            raise RuntimeError("native avio library unavailable")
+        self._av = native_av
+        self.path = str(in_filepath)
+        dec = native_av.decode(path=self.path, size=sbd_size, sample_rate=0,
+                               with_scores=True)
+        if dec is None or dec["frames"].shape[0] == 0:
+            raise RuntimeError(f"cannot decode video {in_filepath}")
+        self.fps = float(dec["video_fps"]) or 30.0
+        self._times = dec["frame_times"]
+        self._scores = dec.get("scene_scores")
+        self._duration = float(dec["duration"]) or (
+            dec["frames"].shape[0] / self.fps)
+
+    def duration(self) -> float:
+        return self._duration
+
+    def detect_shots(self, threshold: float) -> Tuple[List[float], List[float]]:
+        if self._scores is None:
+            return [], []
+        idx = np.where(self._scores >= threshold)[0]
+        boundaries = [
+            float(self._times[i]) if self._times[i] >= 0 else i / self.fps
+            for i in idx
+        ]
+        return boundaries, [float(self._scores[i]) for i in idx]
+
+    def extract_clip(self, start: float, end: float, out_path) -> str:
+        if not self._av.remux_clip(self.path, out_path, start, end - start):
+            raise RuntimeError(f"{out_path}: native clip remux failed")
+        return str(out_path)
+
+    def similarity(self, path_a, path_b) -> float:
+        def signature(path):
+            dec = self._av.decode(path=path, size=0, sample_rate=0)
+            if dec is None or dec["frames"].shape[0] == 0:
+                return np.zeros(1, np.float32)
+            return dec["frames"].astype(np.float32).mean(axis=0).ravel()
+
+        sig_a, sig_b = signature(path_a), signature(path_b)
+        if sig_a.shape != sig_b.shape:
+            n = min(sig_a.size, sig_b.size)
+            sig_a, sig_b = sig_a[:n], sig_b[:n]
+        na = np.linalg.norm(sig_a) or 1.0
+        nb = np.linalg.norm(sig_b) or 1.0
+        return max(float(np.dot(sig_a, sig_b) / (na * nb)), 0.0) * 100.0
+
+
+def open_video_backend(path, backend: str = "auto"):
+    """Best available real-video backend for ``path``: the native
+    FFmpeg-library backend (full SBD + stream-copy extraction, no external
+    binary), else the ffmpeg binary, else OpenCV (re-encoded clips)."""
+    if backend == "native":
+        return NativeAvVideoBackend(path)
+    if backend == "ffmpeg":
+        return FfmpegVideoBackend(path)
+    if backend == "opencv":
+        return OpenCVVideoBackend(path)
+    if backend != "auto":
+        raise ValueError(f"unknown video backend {backend!r}")
+    from ..data import native_av
+
+    if native_av.available():
+        return NativeAvVideoBackend(path)
+    if shutil.which("ffmpeg"):
+        return FfmpegVideoBackend(path)
+    return OpenCVVideoBackend(path)
+
+
 # -- pure algorithmics (ports) -----------------------------------------------------
 
 def get_valid_clips(sb: List[float], min_duration: float,

@@ -1,0 +1,289 @@
+"""The FULL compressed-media contract executed natively — video AND audio.
+
+Round-3 close of the last stage-3/4 execution gap (PARITY "mp4 audio"):
+the image has no ffmpeg binary and no PyAV, but it ships the FFmpeg 5.1
+libraries + headers, so ``native/avio.cc`` links them directly. These
+tests generate REAL mp4 fixtures (mpeg4 video + AAC audio, native
+libavcodec encoders — no egress), then exercise:
+
+* decode fidelity: frames correlate with the source, AAC audio round-trips
+  the exact tone frequency, swresample hits the requested rate;
+* in-memory (tar-member) decode == file decode;
+* scdet-equivalent scene scores locate an engineered cut;
+* stage 3 on the native backend: SBD + threshold annealing + keyframe-
+  snapped stream-copy clip extraction (``-c copy`` semantics);
+* stages 3→4 end-to-end with REAL audio: segment → bundle → extraction
+  driver → VGGish features computed from decoded AAC (tones of different
+  frequency produce distinguishable audio embeddings — the assertion the
+  OpenCV path could never make).
+
+Reference counterparts: PyAV decode ``feature_extraction/code/data/
+video.py:69-163``; ffmpeg scdet/copy ``clip_segmentation/code/
+extract_clips.py:54-94``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import tarfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from acav100m_tpu.data import native_av
+
+if not native_av.available():  # pragma: no cover - image ships the libs
+    pytest.skip("native avio library unavailable", allow_module_level=True)
+
+from acav100m_tpu.data.video import (  # noqa: E402
+    NativeAvDecoder,
+    get_decoder,
+    prepare_clip,
+)
+
+SIZE, FPS, SECONDS, SR = 64, 8.0, 5, 16000
+
+
+def synth_video_frames(n, size=SIZE, phase=0):
+    """Smooth moving gradient that survives lossy mpeg4."""
+    t = np.arange(n)[:, None, None] + phase
+    y = np.arange(size)[None, :, None]
+    x = np.arange(size)[None, None, :]
+    r = 127 + 100 * np.sin(2 * np.pi * (x + 3 * t) / size)
+    g = 127 + 100 * np.cos(2 * np.pi * (y + 2 * t) / size)
+    b = 127 + 100 * np.sin(2 * np.pi * (x + y - t) / size)
+    return np.stack(
+        [np.broadcast_to(c, (n, size, size)) for c in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+
+
+def tone(freq, seconds=SECONDS, sr=SR, amp=0.5):
+    t = np.arange(int(sr * seconds)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def encode_fixture(path, n_frames=int(FPS * SECONDS), freq=440.0,
+                   fps=FPS, frames=None, audio=None):
+    if frames is None:
+        frames = synth_video_frames(n_frames)
+    if audio is None:
+        audio = tone(freq, seconds=n_frames / fps)
+    assert native_av.encode_mp4(path, frames, fps=fps, audio=audio,
+                                sample_rate=SR)
+    return frames, audio
+
+
+def peak_freq(audio, sr):
+    spec = np.abs(np.fft.rfft(audio))
+    return np.fft.rfftfreq(len(audio), 1.0 / sr)[int(spec.argmax())]
+
+
+class TestNativeDecode:
+    def test_roundtrip_video_and_audio(self, tmp_path):
+        path = tmp_path / "fix.mp4"
+        frames, audio = encode_fixture(path, freq=440.0)
+        dec = native_av.decode(path=path, size=SIZE, sample_rate=SR)
+        assert dec is not None
+        assert dec["frames"].shape == (len(frames), SIZE, SIZE, 3)
+        assert dec["video_fps"] == pytest.approx(FPS, rel=0.05)
+        corr = np.corrcoef(
+            frames.astype(np.float32).ravel(),
+            dec["frames"].astype(np.float32).ravel(),
+        )[0, 1]
+        assert corr > 0.95, f"video decode correlation {corr}"
+        # AAC round-trips the tone
+        assert len(dec["audio"]) == pytest.approx(len(audio), rel=0.1)
+        assert peak_freq(dec["audio"], SR) == pytest.approx(440.0, abs=3.0)
+
+    def test_resample_rates(self, tmp_path):
+        """swresample honors the requested output rate (VGGish 16 k /
+        eval 44.1 k paths)."""
+        path = tmp_path / "fix.mp4"
+        encode_fixture(path, freq=440.0)
+        for target in (8000, 44100):
+            dec = native_av.decode(path=path, size=0, sample_rate=target)
+            assert len(dec["audio"]) == pytest.approx(
+                SECONDS * target, rel=0.1)
+            assert peak_freq(dec["audio"], target) == pytest.approx(
+                440.0, abs=5.0)
+
+    def test_buffer_decode_equals_file_decode(self, tmp_path):
+        """Tar members decode from memory — byte-identical to file path."""
+        path = tmp_path / "fix.mp4"
+        encode_fixture(path)
+        from_file = native_av.decode(path=path, size=SIZE, sample_rate=SR)
+        from_buf = native_av.decode(data=path.read_bytes(), size=SIZE,
+                                    sample_rate=SR)
+        np.testing.assert_array_equal(from_file["frames"], from_buf["frames"])
+        np.testing.assert_array_equal(from_file["audio"], from_buf["audio"])
+
+    def test_scene_scores_locate_cut(self, tmp_path):
+        n = int(FPS * SECONDS)
+        scene_a = synth_video_frames(n)
+        scene_b = np.ascontiguousarray(255 - synth_video_frames(n, phase=17)[:, ::-1])
+        path = tmp_path / "two_scene.mp4"
+        encode_fixture(path, frames=np.concatenate([scene_a, scene_b]),
+                       audio=tone(440, seconds=2 * SECONDS))
+        dec = native_av.decode(path=path, size=0, sample_rate=0,
+                               with_scores=True)
+        scores = dec["scene_scores"]
+        assert int(np.argmax(scores)) == n, (
+            f"cut at frame {n} not the max score (argmax "
+            f"{int(np.argmax(scores))})")
+        # scdet semantics: scores in [0, 100], quiescent frames near zero
+        assert 0 <= scores.max() <= 100
+        assert float(np.median(scores)) < scores.max() / 4
+
+    def test_video_only_and_garbage(self, tmp_path):
+        path = tmp_path / "noaudio.mp4"
+        assert native_av.encode_mp4(path, synth_video_frames(8), fps=FPS)
+        dec = native_av.decode(path=path, size=SIZE, sample_rate=SR)
+        assert dec["frames"].shape[0] == 8 and len(dec["audio"]) == 0
+        assert native_av.decode(data=b"not a video") is None
+
+    def test_max_frames_bounds_video_decode(self, tmp_path):
+        path = tmp_path / "fix.mp4"
+        encode_fixture(path)
+        dec = native_av.decode(path=path, size=SIZE, sample_rate=0,
+                               max_frames=7)
+        assert dec["frames"].shape[0] == 7
+
+
+class TestNativeAvDecoderBackend:
+    def test_decoder_protocol(self, tmp_path):
+        path = tmp_path / "fix.mp4"
+        encode_fixture(path, freq=660.0)
+        dec = NativeAvDecoder(size=SIZE, sample_rate=SR)
+        assert dec.available
+        out = dec(path.read_bytes())
+        assert out["frames"].shape[1:] == (SIZE, SIZE, 3)
+        assert peak_freq(out["audio"], SR) == pytest.approx(660.0, abs=3.0)
+        clip = prepare_clip(out, num_frames=8,
+                            audio_samples=SR * SECONDS)
+        assert clip is not None and clip["frames"].shape[0] == 8
+        # REAL audio flowed through (not the silent-audio delta)
+        assert float(np.abs(clip["audio"]).max()) > 0.1
+        assert clip["valid_samples"] > 0.8 * SR * SECONDS
+
+    def test_auto_prefers_native(self):
+        assert isinstance(get_decoder("auto", size=SIZE), NativeAvDecoder)
+
+
+class TestStage3Native:
+    def test_sbd_and_stream_copy_extraction(self, tmp_path):
+        """Stage 3 on the native backend: SBD finds the cut; extracted
+        clips are stream-copied (decodable, keyframe-snapped)."""
+        from acav100m_tpu.pipeline.clip_segmentation import (
+            NativeAvVideoBackend,
+            segment_video,
+        )
+
+        n = int(FPS * SECONDS)
+        video = np.concatenate([
+            synth_video_frames(n),
+            np.ascontiguousarray(255 - synth_video_frames(n, phase=23)[:, ::-1]),
+        ])
+        src = tmp_path / "video.mp4"
+        encode_fixture(src, frames=video, audio=tone(330, seconds=2 * SECONDS))
+
+        backend = NativeAvVideoBackend(src)
+        assert backend.duration() == pytest.approx(2 * SECONDS, rel=0.1)
+        boundaries, scores = backend.detect_shots(threshold=10.0)
+        assert any(abs(b - SECONDS) < 2 / FPS for b in boundaries), (
+            f"cut at t={SECONDS}s not detected: {boundaries}")
+
+        clips, paths = segment_video(
+            backend, tmp_path / "clips", "video", num_clips=2,
+            clip_duration=4.0, threshold=10.0,
+        )
+        assert 1 <= len(paths) <= 2
+        for p in paths:
+            out = native_av.decode(path=p, size=0, sample_rate=SR)
+            assert out is not None and out["frames"].shape[0] > 0
+            # stream copy keeps the audio stream too
+            assert len(out["audio"]) > 0
+            assert peak_freq(out["audio"], SR) == pytest.approx(330, abs=5)
+
+    def test_remux_is_keyframe_snapped_stream_copy(self, tmp_path):
+        src = tmp_path / "fix.mp4"
+        encode_fixture(src)
+        dst = tmp_path / "clip.mp4"
+        assert native_av.remux_clip(src, dst, start=1.5, duration=2.0)
+        out = native_av.decode(path=dst, size=0, sample_rate=SR)
+        # -ss -c copy snaps back to the previous keyframe: the clip is at
+        # least the requested duration, at most one GOP longer
+        dur = out["frames"].shape[0] / FPS
+        assert 2.0 - 1 / FPS <= dur <= 2.0 + 12 / FPS + 1 / FPS
+
+    def test_open_video_backend_auto(self, tmp_path):
+        from acav100m_tpu.pipeline.clip_segmentation import (
+            NativeAvVideoBackend,
+            open_video_backend,
+        )
+
+        src = tmp_path / "fix.mp4"
+        encode_fixture(src)
+        assert isinstance(open_video_backend(src), NativeAvVideoBackend)
+
+
+def make_av_shards(out_dir: Path, freqs, seconds=SECONDS):
+    """REAL mpeg4+AAC mp4 members + stage-3 shard json."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = int(FPS * seconds)
+    meta = []
+    with tarfile.open(out_dir / "shard-000000.tar", "w") as tf:
+        for ci, freq in enumerate(freqs):
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+                encode_fixture(Path(f.name), n_frames=n, freq=freq)
+                data = Path(f.name).read_bytes()
+            fname = f"clip_000_{ci:03d}.mp4"
+            info = tarfile.TarInfo(fname)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            meta.append({"filename": fname, "id": f"vid{ci:06d}",
+                         "segment": [0.0, float(seconds)]})
+    (out_dir / "shard-000000.json").write_text(json.dumps(meta))
+    return str(out_dir / "shard-000000.tar")
+
+
+class TestStage4WithRealAudio:
+    def test_extraction_audio_features_hear_the_tone(self, tmp_path):
+        """Stages 3→4 with REAL AAC audio: the extraction driver decodes
+        mp4 members natively and VGGish features distinguish clips by
+        their audio content — closing the silent-audio delta of the
+        OpenCV-only path."""
+        from acav100m_tpu.pipeline import feature_extraction as fe
+        from acav100m_tpu.utils.io import load_pickle
+
+        spec = make_av_shards(tmp_path / "clips",
+                              freqs=[220.0, 220.0, 3520.0])
+        cfg = fe.get_config({
+            "data.media.path": spec,
+            "data.output.path": str(tmp_path / "features"),
+            "data.batch_size": 3,
+        })
+        saved = fe.run_extraction(
+            cfg, decoder=NativeAvDecoder(size=SIZE, sample_rate=SR))
+        rows = load_pickle(saved[0])
+        assert len(rows) == 3
+        rows = sorted(rows, key=lambda r: r["filename"])
+        adims = [
+            rows[0]["audio_features"][0]["array"][f"layer_{i}"].shape[-1]
+            for i in range(5)
+        ]
+        assert adims == [64, 128, 256, 512, 128]
+        emb = [np.asarray(r["audio_features"][0]["array"]["layer_4"],
+                          np.float32).ravel() for r in rows]
+        assert all(float(np.abs(e).mean()) > 0 for e in emb)
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        same, diff = cos(emb[0], emb[1]), cos(emb[0], emb[2])
+        assert same > diff + 0.01, (
+            f"audio embeddings don't separate 220 Hz vs 3520 Hz: "
+            f"same-tone cos {same}, cross-tone cos {diff}")

@@ -121,8 +121,12 @@ class TestOpenCVDecoder:
         assert OpenCVVideoDecoder(size=SIZE)(b"not a video") is None
 
     def test_auto_decoder_selection(self):
+        from acav100m_tpu.data.video import NativeAvDecoder
+
         dec = get_decoder("auto", size=SIZE)
-        if FfmpegCliDecoder().available:
+        if NativeAvDecoder().available:
+            assert isinstance(dec, NativeAvDecoder)
+        elif FfmpegCliDecoder().available:
             assert isinstance(dec, FfmpegCliDecoder)
         else:
             assert isinstance(dec, OpenCVVideoDecoder)
