@@ -90,7 +90,8 @@ def get_lib():
         c = ctypes
         lib.av_decode.argtypes = [
             c.c_char_p, c.POINTER(c.c_uint8), c.c_int64, c.c_int32,
-            c.c_int32, c.c_int64, c.c_int32, c.POINTER(_AvDecoded),
+            c.c_int32, c.c_int64, c.c_int32, c.c_int64, c.c_int32,
+            c.POINTER(_AvDecoded),
         ]
         lib.av_decode.restype = c.c_int
         lib.av_decoded_free.argtypes = [c.POINTER(_AvDecoded)]
@@ -120,12 +121,17 @@ def decode(
     sample_rate: int = 16000,
     max_frames: int = 0,
     with_scores: bool = False,
+    sample_frames: int = 0,
+    threads: int = 1,
 ) -> Optional[Dict]:
     """Decode media to arrays.
 
     Returns ``{frames (T,H,W,3) uint8, frame_times (T,), audio (S,) f32,
     sample_rate, video_fps, duration[, scene_scores (T,)]}`` or None.
-    ``sample_rate=0`` skips the audio stream entirely.
+    ``sample_rate=0`` skips the audio stream entirely. ``sample_frames>0``
+    keeps only that many uniformly-sampled frames (floor-linspace, the
+    ``temporal_sampling`` rule) — every frame still decodes, but only
+    sampled ones pay scaling + storage.
     """
     lib = get_lib()
     if lib is None:
@@ -134,10 +140,12 @@ def decode(
     if data is not None:
         buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
         rc = lib.av_decode(None, buf, len(data), size, sample_rate,
-                           max_frames, int(with_scores), ctypes.byref(out))
+                           max_frames, int(with_scores), sample_frames,
+                           threads, ctypes.byref(out))
     else:
         rc = lib.av_decode(str(path).encode(), None, 0, size, sample_rate,
-                           max_frames, int(with_scores), ctypes.byref(out))
+                           max_frames, int(with_scores), sample_frames,
+                           threads, ctypes.byref(out))
     try:
         if rc != 0:
             return None

@@ -374,7 +374,9 @@ def _pooled_stream(
 def empty_batch_like(batch: Dict) -> Dict:
     """An all-masked batch with the same array shapes (a lock-step no-op)."""
     out = {}
-    for key, val in batch.items():
+    # snapshot: consumers stage extra keys into (copies of) loader batches
+    # on other threads; never iterate a live dict a consumer might touch
+    for key, val in list(batch.items()):
         if key == "batch_mask":
             out[key] = np.zeros_like(val)
         elif isinstance(val, np.ndarray):

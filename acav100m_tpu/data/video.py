@@ -246,9 +246,14 @@ class NativeAvDecoder:
     PyAV path (``data/video.py:69-163``) — the audio stream included —
     with no external binary or package."""
 
-    def __init__(self, size: int = 256, sample_rate: int = 16000):
+    def __init__(self, size: int = 256, sample_rate: int = 16000,
+                 sample_frames: int = 0):
         self.size = size
         self.sample_rate = sample_rate
+        # decode-side uniform sampling (the temporal_sampling floor-linspace
+        # rule applied in C): every frame decodes, only sampled frames pay
+        # sws_scale + storage. 0 = keep all frames.
+        self.sample_frames = sample_frames
 
     @property
     def available(self) -> bool:
@@ -260,15 +265,23 @@ class NativeAvDecoder:
         from . import native_av
 
         dec = native_av.decode(data=data, size=self.size,
-                               sample_rate=self.sample_rate)
+                               sample_rate=self.sample_rate,
+                               sample_frames=self.sample_frames)
         if dec is None or dec["frames"].shape[0] == 0:
             return None
+        n = dec["frames"].shape[0]
+        fps = float(dec["video_fps"]) or n / max(dec["duration"], 1e-6)
+        if self.sample_frames and n == self.sample_frames:
+            # sampled decode: report an effective fps so downstream
+            # duration inference (frames/fps, prepare_clip's skip rule)
+            # still sees the TRUE clip duration
+            duration = dec["duration"] or (n / fps)
+            fps = n / max(duration, 1e-6)
         return {
             "frames": dec["frames"],
             "audio": dec["audio"],
             "sample_rate": self.sample_rate,
-            "video_fps": float(dec["video_fps"]) or
-            dec["frames"].shape[0] / max(dec["duration"], 1e-6),
+            "video_fps": fps,
         }
 
     def decode_path(self, path) -> Optional[Dict]:
@@ -291,10 +304,12 @@ def get_decoder(name: str = "npz", **kwargs):
         # binary, else OpenCV's bundled libavcodec (video-only)
         common = {k: v for k, v in kwargs.items()
                   if k in ("size", "sample_rate")}
-        native = NativeAvDecoder(**common)
+        native = NativeAvDecoder(
+            **{k: v for k, v in kwargs.items()
+               if k in ("size", "sample_rate", "sample_frames")})
         if native.available:
             return native
-        dec = FfmpegCliDecoder(**kwargs)
+        dec = FfmpegCliDecoder(**common)
         if dec.available:
             return dec
         return OpenCVVideoDecoder(**common)

@@ -216,7 +216,17 @@ def run_extraction(cfg, decoder=None, mesh=None, models=None, params=None):
     extract_fn = make_extract_fn(models, mesh)
 
     if decoder is None:
-        decoder = get_decoder(cfg.data.decoder or "npz")
+        name = cfg.data.decoder or "npz"
+        kwargs = {}
+        if name != "npz":
+            kwargs["size"] = cfg.data.media.size or 256
+            kwargs["sample_rate"] = 16000
+        if name in ("native", "auto"):
+            # decode-side uniform sampling: bit-identical to decoding all
+            # frames then temporal_sampling, but unsampled frames skip
+            # sws_scale + storage (native/avio.cc)
+            kwargs["sample_frames"] = cfg.data.media.num_frames or 32
+        decoder = get_decoder(name, **kwargs)
     duration = cfg.acav.duration or 10
     skip_secs = duration * (cfg.acav.skip_shorter_ratio or 0.25)
 
@@ -292,6 +302,12 @@ def run_extraction(cfg, decoder=None, mesh=None, models=None, params=None):
 
     def _staged(it):
         for b in it:
+            # shallow-copy before staging: the loader may hold (and later
+            # iterate) the original dict — pad_to_length keeps the final
+            # real batch as its padding template and re-yields one pad
+            # object — so the consumer's pop("_dev") must never mutate a
+            # dict the producer side still owns
+            b = dict(b)
             b["_dev"] = (
                 jnp.asarray(b["frames"]),
                 jnp.asarray(b["audio"]),

@@ -231,6 +231,47 @@ def bench_e2e(extract, params, batch, num_frames=32, size=256,
     return host_rates, e2e, h2d_gbps, best_nw, cores
 
 
+def bench_mp4_decode(size=256, seconds=10, fps=30.0, sample_frames=32):
+    """Real compressed-media host decode rate (clips/s/core): mpeg4+AAC
+    production-shape clips through the native FFmpeg-library decoder
+    (``native/avio.cc``), full-frame vs decode-side 32-frame sampling.
+    This is the leg the reference pays in PyAV DataLoader workers
+    (``feature_extraction/code/data/video.py:69-163``)."""
+    from acav100m_tpu.data import native_av
+
+    if not native_av.available():
+        return None
+    n, h, w = int(fps * seconds), size, int(size * 4 / 3)
+    t = np.arange(n)[:, None, None]
+    y = np.arange(h)[None, :, None]
+    x = np.arange(w)[None, None, :]
+    fr = (127 + 100 * np.sin(2 * np.pi * (x + 3 * t) / w)
+          * np.cos(2 * np.pi * (y + 2 * t) / h)).astype(np.uint8)
+    fr = np.repeat(fr[..., None], 3, axis=-1)
+    sr = 44100
+    au = (0.4 * np.sin(2 * np.pi * 440 * np.arange(sr * seconds) / sr)
+          ).astype(np.float32)
+    with tempfile.TemporaryDirectory(prefix="acav_mp4_") as td:
+        p = Path(td) / "clip.mp4"
+        if not native_av.encode_mp4(p, fr, fps=fps, audio=au, sample_rate=sr):
+            return None
+        data = p.read_bytes()
+        out = {}
+        for label, kw in (
+            ("full", {}),
+            (f"sampled_{sample_frames}", {"sample_frames": sample_frames}),
+        ):
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                d = native_av.decode(data=data, size=size,
+                                     sample_rate=16000, **kw)
+            dt = (time.perf_counter() - t0) / reps
+            assert d is not None and d["frames"].shape[0] > 0
+            out[label] = round(1.0 / dt, 3)
+        return out
+
+
 def bench_stages(batch=64):
     """Optional per-stage SlowFast breakdown (ACAV_BENCH_STAGES=1):
     times each stem/stage/fuse separately at production shapes. ~13 extra
@@ -457,6 +498,7 @@ def main():
         extract, params, e2e_batch,
         num_frames=num_frames, size=size, audio_len=audio_len,
     )
+    mp4_rates = bench_mp4_decode(size=size)
 
     # reconstructed overlapped rate: with decode, H2D, and compute fully
     # pipelined, throughput = the slowest leg. bytes/clip = frames + audio.
@@ -491,6 +533,15 @@ def main():
                     ),
                     "h2d_gbps": round(h2d_gbps, 4),
                     "host_pipeline_clips_per_sec_by_workers": host_rates,
+                    "mp4_decode_clips_per_sec_per_core": mp4_rates,
+                    "mp4_decode_note": (
+                        "native FFmpeg-library decode (video+AAC audio, "
+                        "10 s 256p mpeg4 clip, 16 kHz mono out); 'sampled' "
+                        "scales/stores only the 32 temporal_sampling frames "
+                        "(bit-identical selection). The npz host_pipeline "
+                        "numbers above are the pre-materialized path; this "
+                        "is the compressed-media path per decode worker"
+                    ),
                     "host_cores": cores,
                     "host_note": (
                         "decode-worker scaling needs a multi-core host "

@@ -135,7 +135,7 @@ struct Decoder {
 };
 
 int open_input(Decoder* d, const char* path, const uint8_t* data,
-               int64_t len, int want_audio, char* err) {
+               int64_t len, int want_audio, char* err, int threads = 1) {
   int rc;
   if (data != nullptr) {
     d->reader = {data, len, 0};
@@ -176,6 +176,8 @@ int open_input(Decoder* d, const char* path, const uint8_t* data,
     AVCodecContext* ctx = avcodec_alloc_context3(codec);
     avcodec_parameters_to_context(ctx, st->codecpar);
     ctx->pkt_timebase = st->time_base;
+    // frame-threaded decode for multi-core hosts; worker pools pin 1
+    if (which == 0 && threads != 1) ctx->thread_count = threads;
     rc = avcodec_open2(ctx, codec, nullptr);
     if (rc < 0) {
       avcodec_free_context(&ctx);
@@ -228,13 +230,23 @@ void av_decoded_free(AvDecoded* out) {
 //   target_sr  0 = skip audio, else mono float at this rate
 //   max_frames 0 = all, else stop video after this many decoded frames
 //   with_scores1 = fill scene_scores (costs one extra frame ref + SAD pass)
+//   sample_frames 0 = keep all frames; else uniformly sample this many by
+//              the floor-linspace rule of temporal_sampling (reference
+//              video.py:53-57: linspace(0, T-1, n).astype(int64)) using
+//              the container's frame count — every frame still runs
+//              through the decoder (reference chains), but only sampled
+//              frames pay sws_scale + RGB storage. Ignored when the frame
+//              count is unknown or with_scores is set (SBD needs every
+//              frame's score).
 // Returns 0 on success.
+//   threads    video decoder thread count (1 = default; 0 = auto-detect)
 int av_decode(const char* path, const uint8_t* data, int64_t len,
               int32_t size, int32_t target_sr, int64_t max_frames,
-              int32_t with_scores, AvDecoded* out) {
+              int32_t with_scores, int64_t sample_frames, int32_t threads,
+              AvDecoded* out) {
   memset(out, 0, sizeof(*out));
   Decoder d;
-  int rc = open_input(&d, path, data, len, target_sr > 0, out->err);
+  int rc = open_input(&d, path, data, len, target_sr > 0, out->err, threads);
   if (rc < 0) return -1;
 
   if (d.fmt->duration > 0)
@@ -293,11 +305,31 @@ int av_decode(const char* path, const uint8_t* data, int64_t len,
     d.astream = -1;
   }
 
+  // uniform frame sampling plan (only when the container knows its count)
+  std::vector<bool> selected;
+  if (sample_frames > 0 && !with_scores && d.vstream >= 0) {
+    int64_t est = d.fmt->streams[d.vstream]->nb_frames;
+    if (est <= 0 && out->duration > 0 && fps > 0)
+      est = int64_t(std::lround(out->duration * fps));
+    if (est > sample_frames) {
+      selected.assign(size_t(est), false);
+      for (int64_t i = 0; i < sample_frames; i++) {
+        // floor-linspace: trunc(i * (T-1) / (n-1)), n==1 -> frame 0
+        int64_t idx = sample_frames > 1
+                          ? int64_t(double(i) * double(est - 1) /
+                                    double(sample_frames - 1))
+                          : 0;
+        selected[size_t(std::min(idx, est - 1))] = true;
+      }
+    }
+  }
+
   std::vector<uint8_t> frames;
   std::vector<double> times;
   std::vector<double> scores;
   std::vector<float> audio;
   double prev_mafd = 0.0;
+  int64_t vidx = 0;  // decoded-frame index (independent of stored count)
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
@@ -305,6 +337,10 @@ int av_decode(const char* path, const uint8_t* data, int64_t len,
   std::vector<float> abuf;
 
   auto take_video = [&](AVFrame* f) {
+    int64_t this_idx = vidx++;
+    if (!selected.empty() &&
+        (this_idx >= int64_t(selected.size()) || !selected[size_t(this_idx)]))
+      return;
     if (max_frames > 0 && int64_t(times.size()) >= max_frames) return;
     if (with_scores && pixdesc) {
       if (d.prev && d.prev->width == f->width && d.prev->height == f->height) {

@@ -143,6 +143,41 @@ class TestNativeDecode:
         assert dec["frames"].shape[0] == 8 and len(dec["audio"]) == 0
         assert native_av.decode(data=b"not a video") is None
 
+    def test_sampled_decode_matches_temporal_sampling(self, tmp_path):
+        """Decode-side uniform sampling is bit-identical to decoding all
+        frames then applying temporal_sampling (the floor-linspace rule,
+        reference video.py:53-57) — only the sampled frames pay
+        sws_scale + storage."""
+        from acav100m_tpu.data.video import temporal_sampling
+
+        path = tmp_path / "fix.mp4"
+        encode_fixture(path, n_frames=40)
+        full = native_av.decode(path=path, size=SIZE, sample_rate=0)
+        for n in (1, 7, 32):
+            samp = native_av.decode(path=path, size=SIZE, sample_rate=0,
+                                    sample_frames=n)
+            np.testing.assert_array_equal(
+                temporal_sampling(full["frames"], n), samp["frames"])
+        # asking for >= total frames keeps everything
+        samp = native_av.decode(path=path, size=SIZE, sample_rate=0,
+                                sample_frames=40)
+        assert samp["frames"].shape[0] == 40
+
+    def test_sampled_decoder_preserves_duration_semantics(self, tmp_path):
+        """NativeAvDecoder(sample_frames=n) reports an effective fps so
+        prepare_clip's skip-shorter rule still sees the true duration."""
+        path = tmp_path / "fix.mp4"
+        encode_fixture(path)  # 5 s clip
+        dec = NativeAvDecoder(size=SIZE, sample_rate=SR, sample_frames=8)
+        out = dec(path.read_bytes())
+        assert out["frames"].shape[0] == 8
+        inferred = out["frames"].shape[0] / out["video_fps"]
+        assert inferred == pytest.approx(SECONDS, rel=0.1)
+        # a 5 s clip must NOT be skipped by the 2.5 s rule
+        clip = prepare_clip(out, num_frames=8, skip_shorter_seconds=2.5,
+                            audio_samples=SR * SECONDS)
+        assert clip is not None
+
     def test_max_frames_bounds_video_decode(self, tmp_path):
         path = tmp_path / "fix.mp4"
         encode_fixture(path)
@@ -228,26 +263,87 @@ class TestStage3Native:
         assert isinstance(open_video_backend(src), NativeAvVideoBackend)
 
 
-def make_av_shards(out_dir: Path, freqs, seconds=SECONDS):
-    """REAL mpeg4+AAC mp4 members + stage-3 shard json."""
+def make_av_shards(out_dir: Path, freqs, seconds=SECONDS, num_shards=1):
+    """REAL mpeg4+AAC mp4 members + stage-3 shard jsons."""
     out_dir.mkdir(parents=True, exist_ok=True)
     n = int(FPS * seconds)
-    meta = []
-    with tarfile.open(out_dir / "shard-000000.tar", "w") as tf:
-        for ci, freq in enumerate(freqs):
-            import tempfile
+    per_shard = [freqs[si::num_shards] for si in range(num_shards)]
+    count = 0
+    for si, shard_freqs in enumerate(per_shard):
+        meta = []
+        with tarfile.open(out_dir / f"shard-{si:06d}.tar", "w") as tf:
+            for freq in shard_freqs:
+                import tempfile
 
-            with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
-                encode_fixture(Path(f.name), n_frames=n, freq=freq)
-                data = Path(f.name).read_bytes()
-            fname = f"clip_000_{ci:03d}.mp4"
-            info = tarfile.TarInfo(fname)
-            info.size = len(data)
-            tf.addfile(info, io.BytesIO(data))
-            meta.append({"filename": fname, "id": f"vid{ci:06d}",
-                         "segment": [0.0, float(seconds)]})
-    (out_dir / "shard-000000.json").write_text(json.dumps(meta))
+                with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+                    encode_fixture(Path(f.name), n_frames=n, freq=freq)
+                    data = Path(f.name).read_bytes()
+                fname = f"clip_{si:03d}_{count:03d}.mp4"
+                count += 1
+                info = tarfile.TarInfo(fname)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                meta.append({"filename": fname, "id": f"vid{count:06d}",
+                             "segment": [0.0, float(seconds)]})
+        (out_dir / f"shard-{si:06d}.json").write_text(json.dumps(meta))
     return str(out_dir / "shard-000000.tar")
+
+
+class TestWorkerPoolWithNativeDecode:
+    def test_spawned_decode_workers_load_the_native_lib(self, tmp_path):
+        """Production decode runs in spawned worker processes — each child
+        must pickle the NativeAvDecoder config and CDLL the library
+        independently, and every mp4 clip must arrive exactly once."""
+        import functools
+
+        from acav100m_tpu.data.meta import load_metadata
+        from acav100m_tpu.data.tar_dataset import make_loader
+
+        make_av_shards(tmp_path / "tars", freqs=[440.0, 880.0, 660.0, 330.0],
+                       num_shards=2)
+        shards = sorted((tmp_path / "tars").glob("*.tar"))
+        assert len(shards) == 2
+        metas, _ = load_metadata(shards)
+        dec = NativeAvDecoder(size=SIZE, sample_rate=SR, sample_frames=8)
+        prepare = functools.partial(prepare_clip, num_frames=8,
+                                    duration=float(SECONDS),
+                                    audio_samples=SR * SECONDS)
+        seen = []
+        for b in make_loader(shards, metas, batch_size=2, decoder=dec,
+                             prepare=prepare, num_workers=2, prefetch=2):
+            for i in range(len(b["filename"])):
+                if b["batch_mask"][i]:
+                    seen.append(b["filename"][i])
+                    assert b["frames"][i].shape[0] == 8
+                    assert float(np.abs(b["audio"][i]).max()) > 0.1
+        assert len(seen) == 4 and len(set(seen)) == 4
+
+
+class TestEvaluationPretrainOnRealMedia:
+    def test_pretrain_batches_from_mp4_shard(self, tmp_path):
+        """The §2.8 ACAV pretrain dataset contract on REAL compressed
+        media: curated mp4+AAC tar -> native decode at 44.1 kHz -> random
+        visual window + aligned 2 s audio window -> log-mel 80x128
+        (reference data/contrast.py:25-179 used PyAV + torchaudio)."""
+        from acav100m_tpu.data.meta import load_metadata
+        from acav100m_tpu.evaluation.data import pretrain_batches
+
+        make_av_shards(tmp_path / "tars", freqs=[440.0, 880.0, 1760.0])
+        shards = sorted((tmp_path / "tars").glob("*.tar"))
+        metas, _ = load_metadata(shards)
+        rng = np.random.RandomState(0)
+        dec = NativeAvDecoder(size=SIZE, sample_rate=44100)
+        batches = list(pretrain_batches(shards, metas, batch_size=3, rng=rng,
+                                        num_frames=4, crop=48, decoder=dec))
+        assert len(batches) == 1
+        b = batches[0]
+        assert b["visual"].shape == (3, 4, 48, 48, 3)
+        assert b["audio"].shape == (3, 80, 128, 1)
+        # real AAC audio reached the log-mel frontend: energy present and
+        # different tones produce different spectrograms
+        a = b["audio"][..., 0]
+        assert float(np.ptp(a)) > 0
+        assert not np.allclose(a[0], a[1])
 
 
 class TestStage4WithRealAudio:
