@@ -281,6 +281,96 @@ def bench_mp4_decode(size=256, seconds=10, fps=30.0, sample_frames=32):
         return out
 
 
+def bench_pretrain(smoke=False):
+    """Evaluation-subsystem throughput: one §2.8 contrastive pretrain step
+    (Contrast = 3D-R50 visual + 2D-R50 audio + InfoNCE, reference
+    ``evaluation/code/models/contrast.py`` + ``configs/acav/config.yaml``)
+    at the reference's global batch 64, 8×112² frames + 80×128 log-mel,
+    bf16 compute. The reference trains this fp32 DDP on unspecified GPUs
+    over 100M clips × 50 epochs — step time IS the pretraining budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from acav100m_tpu.evaluation.train import init_pretrain, make_pretrain_step
+
+    batch, nf, crop = (8, 2, 32) if smoke else (64, 8, 112)
+    model, state, opt = init_pretrain(
+        jax.random.PRNGKey(0), num_frames=nf, crop=crop, dtype=jnp.bfloat16)
+    step = make_pretrain_step(model, opt)
+    rng = np.random.RandomState(0)
+    visual = jnp.asarray(rng.rand(batch, nf, crop, crop, 3), jnp.float32)
+    audio = jnp.asarray(rng.rand(batch, 80, 128, 1), jnp.float32)
+    def barrier():
+        # host FETCH of a params leaf (the optimizer update is the step's
+        # last computation) — jax.block_until_ready nondeterministically
+        # returns early on the tunneled runtime (observed 14x
+        # under-measurement); a fetch is the only reliable barrier (_sync)
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+
+    state, m = step(state, visual, audio)  # compile (state is donated)
+    barrier()
+    iters = 3 if smoke else 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, visual, audio)
+    barrier()
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "t_pretrain_step_ms": round(dt * 1e3, 3),
+        "pretrain_clips_per_sec": round(batch / dt, 1),
+        "pretrain_batch": batch,
+        "pretrain_note": (
+            "contrastive pretrain step (3D-R50+2D-R50+InfoNCE, global "
+            "batch 64, 8x112^2, bf16 compute); at this rate one epoch "
+            "over the 100M-clip ACAV100M takes "
+            f"{round(1e8 / (batch / dt) / 3600, 1)} chip-hours"
+        ),
+    }
+
+
+def bench_scale_select(v=10_000_000, d=10, c=32, batch=4096, k_ratio=0.2):
+    """Optional (ACAV_BENCH_SCALE=1) production-scale stage 6: greedy
+    MI selection at ACAV100M shapes — V candidates × D=10 clusterings
+    (45 cluster pairs, reference pairing.py:17-21), C=32 centroids. The
+    candidate pair table lives device-resident ((V,45,2) int32, ~3.6 GB
+    at V=10M); scoring is one jitted step per batch. Projects the full
+    140M-candidate scan from the measured per-batch step."""
+    import jax.numpy as jnp
+
+    from acav100m_tpu.ops import mi
+    from acav100m_tpu.ops.pairing import get_cluster_pairing
+
+    rng = np.random.RandomState(0)
+    assignments = rng.randint(0, c, (v, d)).astype(np.int32)
+    pairs = get_cluster_pairing([("x", f"l{i}") for i in range(d)],
+                                "combination")
+    t0 = time.perf_counter()
+    selector = mi.BatchGreedySelector(
+        assignments, pairs, ncentroids=c, batch_size=batch,
+        selection_size=max(1, int(batch * k_ratio)), keep_unselected=True,
+        seed=0,
+    )
+    t_init = time.perf_counter() - t0
+    ids = jnp.asarray(selector.candidate_ids[:batch])
+    valid = jnp.ones((batch,), bool)
+
+    def sel_step():
+        return selector._step(selector.cache, selector.stats,
+                              selector.pairs_all, ids, valid)[0]["N"]
+
+    t_step = timeit(sel_step)
+    scan_rate = batch / t_step
+    return {
+        "scale_select_v": v,
+        "scale_select_batch": batch,
+        "scale_select_init_s": round(t_init, 1),
+        "scale_select_step_ms": round(t_step * 1e3, 3),
+        "scale_select_scan_clips_per_sec": round(scan_rate, 0),
+        "scale_select_projected_140M_scan_minutes": round(
+            140e6 / scan_rate / 60, 1),
+    }
+
+
 def bench_stages(batch=64):
     """Optional per-stage SlowFast breakdown (ACAV_BENCH_STAGES=1):
     times each stem/stage/fuse separately at production shapes. ~13 extra
@@ -509,6 +599,17 @@ def main():
     )
     mp4_rates = bench_mp4_decode(size=size)
 
+    # evaluation-subsystem pretrain step (fail-safe like int8)
+    try:
+        pretrain = bench_pretrain(smoke=smoke)
+    except Exception as e:  # pragma: no cover - report, don't kill the bench
+        pretrain = {"pretrain_note": f"{type(e).__name__}: {e}"}
+
+    # optional ACAV100M-scale selection (3.6 GB device table; opt-in)
+    scale_sel = None
+    if os.environ.get("ACAV_BENCH_SCALE"):
+        scale_sel = bench_scale_select(v=200_000 if smoke else 10_000_000)
+
     # reconstructed overlapped rate: with decode, H2D, and compute fully
     # pipelined, throughput = the slowest leg. bytes/clip = frames + audio.
     clip_bytes = num_frames * size * size * 3 + audio_len * 4
@@ -617,6 +718,8 @@ def main():
                     "device": str(jax.devices()[0]),
                     "extract_batch": batch,
                     "extract_dtype": "bfloat16",
+                    **pretrain,
+                    **(scale_sel or {}),
                     **({"smoke": True} if smoke else {}),
                     **(
                         {"per_stage_ms": bench_stages()}
