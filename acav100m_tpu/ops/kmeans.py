@@ -291,7 +291,10 @@ def make_sharded_train_step(mesh, axis_name: str = "data",
     XLA turns the psums into ICI all-reduces — the TPU equivalent of the
     reference's NCCL all_reduce of counts/deltas.
     """
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.6 top-level API; experimental path removed in 0.9
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     def step(state, batch, lr, key):
         return train_step(
@@ -300,11 +303,13 @@ def make_sharded_train_step(mesh, axis_name: str = "data",
             axis_name=axis_name, use_pallas=use_pallas,
         )
 
-    smapped = shard_map(
-        step,
+    kwargs = dict(
         mesh=mesh,
         in_specs=(P(), P(None, axis_name, None), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
     )
+    try:  # replication checking: check_vma (jax >= 0.7) / check_rep (older)
+        smapped = shard_map(step, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax
+        smapped = shard_map(step, check_rep=False, **kwargs)
     return jax.jit(smapped)

@@ -307,6 +307,8 @@ def bench_pretrain(smoke=False):
         # under-measurement); a fetch is the only reliable barrier (_sync)
         np.asarray(jax.tree_util.tree_leaves(state.params)[0])
 
+    flops, bytes_ = _cost_analysis(step, state, visual, audio)
+    _, peak_tflops, hbm_gbps = _device_peaks()
     state, m = step(state, visual, audio)  # compile (state is donated)
     barrier()
     iters = 3 if smoke else 20
@@ -319,6 +321,10 @@ def bench_pretrain(smoke=False):
         "t_pretrain_step_ms": round(dt * 1e3, 3),
         "pretrain_clips_per_sec": round(batch / dt, 1),
         "pretrain_batch": batch,
+        **({"pretrain_mfu_pct": round(100 * flops / dt / 1e12 / peak_tflops, 1)}
+           if flops and peak_tflops else {}),
+        **({"pretrain_hbm_util_pct": round(100 * bytes_ / dt / 1e9 / hbm_gbps, 1)}
+           if bytes_ and hbm_gbps else {}),
         "pretrain_note": (
             "contrastive pretrain step (3D-R50+2D-R50+InfoNCE, global "
             "batch 64, 8x112^2, bf16 compute); at this rate one epoch "
