@@ -55,6 +55,7 @@ class _AvDecoded(ctypes.Structure):
         ("n_samples", ctypes.c_int64),
         ("sample_rate", ctypes.c_int32),
         ("duration", ctypes.c_double),
+        ("audio_start", ctypes.c_double),
         ("err", ctypes.c_char * 256),
     ]
 
@@ -79,7 +80,12 @@ def get_lib():
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not _SO.is_file() and not _build():
+        stale = (
+            not _SO.is_file()
+            or (_SRC.is_file()
+                and _SRC.stat().st_mtime > _SO.stat().st_mtime)
+        )
+        if stale and not _build():
             _load_failed = True
             return None
         try:
@@ -153,6 +159,11 @@ def decode(
             "video_fps": float(out.fps),
             "duration": float(out.duration),
             "sample_rate": int(out.sample_rate),
+            # first audio sample's pts (>= 0): pre-window samples are
+            # trimmed in C per the reference's _align_audio_frames
+            # (video.py:152-163); a late audio start is reported, not
+            # padded (also reference behavior)
+            "audio_start": float(out.audio_start),
         }
         if out.n_frames > 0:
             shape = (out.n_frames, out.height, out.width, 3)

@@ -210,6 +210,9 @@ typedef struct {
   int64_t n_samples;
   int32_t sample_rate;
   double duration;       // container duration, seconds (0 if unknown)
+  double audio_start;    // first audio sample's pts, seconds (>=0; pre-0
+                         // samples are trimmed per the reference's
+                         // _align_audio_frames, video.py:152-163)
   char err[256];
 } AvDecoded;
 
@@ -373,7 +376,13 @@ int av_decode(const char* path, const uint8_t* data, int64_t len,
     times.push_back(pts != AV_NOPTS_VALUE ? pts * av_q2d(vtb) : -1.0);
   };
 
+  double audio_first_pts = 0.0;
+  bool audio_pts_seen = false;
   auto take_audio = [&](AVFrame* f) {
+    if (!audio_pts_seen && f->pts != AV_NOPTS_VALUE) {
+      audio_first_pts = f->pts * av_q2d(atb);
+      audio_pts_seen = true;
+    }
     int max_out = swr_get_out_samples(d.swr, f->nb_samples);
     abuf.resize(std::max(max_out, 256));
     uint8_t* outp[1] = {reinterpret_cast<uint8_t*>(abuf.data())};
@@ -443,6 +452,18 @@ int av_decode(const char* path, const uint8_t* data, int64_t len,
       memcpy(out->scene_scores, scores.data(), scores.size() * 8);
     }
   }
+  // audio alignment, the reference's _align_audio_frames ref_start rule
+  // (feature_extraction/code/data/video.py:152-163): samples before the
+  // requested window start (pts < 0, e.g. shifted stream copies) are
+  // trimmed; a late audio start is reported, not padded (also reference
+  // behavior).
+  if (audio_pts_seen && audio_first_pts < 0.0 && !audio.empty()) {
+    size_t lead = size_t(std::min<double>(
+        std::lround(-audio_first_pts * target_sr), double(audio.size())));
+    audio.erase(audio.begin(), audio.begin() + lead);
+    audio_first_pts = 0.0;
+  }
+  out->audio_start = audio_pts_seen ? audio_first_pts : 0.0;
   out->n_samples = int64_t(audio.size());
   out->sample_rate = target_sr;
   if (!audio.empty()) {
@@ -509,8 +530,37 @@ int av_remux_clip(const char* in_path, const char* out_path, double start,
   int64_t seek_ts = int64_t(start * AV_TIME_BASE);
   av_seek_frame(in, -1, seek_ts, AVSEEK_FLAG_BACKWARD);
   AVPacket* pkt = av_packet_alloc();
-  // per-output-stream first-pts for offset rebasing
-  std::vector<int64_t> first_pts(outf->nb_streams, AV_NOPTS_VALUE);
+  // pass 1: ONE shared timestamp origin = min first dts across mapped
+  // streams (ffmpeg's `-avoid_negative_ts 1` rebases all streams by one
+  // global shift, extract_clips.py:88-94 — per-stream rebasing would skew
+  // audio vs video by up to a GOP on keyframe-snapped cuts)
+  int64_t base_us = INT64_MAX;
+  {
+    unsigned want = 0;
+    for (unsigned i = 0; i < in->nb_streams; i++)
+      if (i < map.size() && map[i] >= 0) want++;
+    std::vector<bool> got(in->nb_streams, false);
+    unsigned seen = 0;
+    while (seen < want && av_read_frame(in, pkt) >= 0) {
+      int si = pkt->stream_index;
+      AVRational itb = in->streams[si]->time_base;
+      if (si < int(map.size()) && map[si] >= 0 && !got[size_t(si)]) {
+        int64_t b = pkt->dts != AV_NOPTS_VALUE ? pkt->dts : pkt->pts;
+        if (b != AV_NOPTS_VALUE) {
+          base_us = std::min(base_us, av_rescale_q(b, itb, AV_TIME_BASE_Q));
+          got[size_t(si)] = true;
+          seen++;
+        }
+      }
+      double t = pkt->pts != AV_NOPTS_VALUE ? pkt->pts * av_q2d(itb)
+               : pkt->dts != AV_NOPTS_VALUE ? pkt->dts * av_q2d(itb) : 0.0;
+      av_packet_unref(pkt);
+      // a stream may have no packets inside the cut: stop scanning past it
+      if (dur > 0 && t >= start + dur) break;
+    }
+    if (base_us == INT64_MAX) base_us = 0;
+    av_seek_frame(in, -1, seek_ts, AVSEEK_FLAG_BACKWARD);
+  }
   while (av_read_frame(in, pkt) >= 0) {
     int oi = pkt->stream_index < int(map.size()) ? map[pkt->stream_index] : -1;
     if (oi < 0) {
@@ -525,15 +575,12 @@ int av_remux_clip(const char* in_path, const char* out_path, double start,
       av_packet_unref(pkt);
       break;
     }
-    if (first_pts[oi] == AV_NOPTS_VALUE) {
-      int64_t base = pkt->dts != AV_NOPTS_VALUE ? pkt->dts : pkt->pts;
-      first_pts[oi] = base;
-    }
     AVRational otb = outf->streams[oi]->time_base;
+    int64_t shift = av_rescale_q(base_us, AV_TIME_BASE_Q, itb);
     if (pkt->pts != AV_NOPTS_VALUE)
-      pkt->pts = av_rescale_q(pkt->pts - first_pts[oi], itb, otb);
+      pkt->pts = av_rescale_q(pkt->pts - shift, itb, otb);
     if (pkt->dts != AV_NOPTS_VALUE)
-      pkt->dts = av_rescale_q(pkt->dts - first_pts[oi], itb, otb);
+      pkt->dts = av_rescale_q(pkt->dts - shift, itb, otb);
     pkt->duration = av_rescale_q(pkt->duration, itb, otb);
     pkt->pos = -1;
     pkt->stream_index = oi;

@@ -289,6 +289,59 @@ def make_av_shards(out_dir: Path, freqs, seconds=SECONDS, num_shards=1):
     return str(out_dir / "shard-000000.tar")
 
 
+class TestAvAlignment:
+    def test_audio_start_zero_on_plain_fixture(self, tmp_path):
+        path = tmp_path / "fix.mp4"
+        encode_fixture(path)
+        dec = native_av.decode(path=path, size=SIZE, sample_rate=SR)
+        # pre-0 samples are trimmed (reference _align_audio_frames,
+        # video.py:152-163); a plain encode starts at ~0
+        assert dec["audio_start"] >= 0.0
+        assert dec["audio_start"] == pytest.approx(0.0, abs=0.05)
+
+    def test_snapped_stream_copy_keeps_av_events_in_sync(self, tmp_path):
+        """A/V sync through keyframe-snapped stream copy: the remux rebases
+        every stream by ONE shared origin (ffmpeg's -avoid_negative_ts,
+        extract_clips.py:88-94) — per-stream rebasing would skew the clip's
+        audio against its video. Source has a visual hard cut AND an audio
+        tone change at the same instant; after cutting a window whose start
+        snaps to an earlier keyframe, both events must land on the same
+        clip-relative time."""
+        fps, seconds = 8.0, 8
+        n = int(fps * seconds)
+        half = n // 2
+        fa = synth_video_frames(half)
+        fb = 255 - synth_video_frames(half, phase=37)  # luma flip at cut
+        frames = np.concatenate([fa, fb])
+        audio = np.concatenate(
+            [tone(220.0, seconds=seconds / 2), tone(1760.0, seconds=seconds / 2)]
+        )
+        src = tmp_path / "src.mp4"
+        assert native_av.encode_mp4(src, frames, fps=fps, audio=audio,
+                                    sample_rate=SR)
+        out = tmp_path / "clip.mp4"
+        # window [3, 7): the t=4 s event sits inside; start snaps backward
+        assert native_av.remux_clip(src, out, 3.0, 4.0)
+        dec = native_av.decode(path=out, size=SIZE, sample_rate=SR,
+                               with_scores=True)
+        assert dec["audio_start"] >= 0.0
+        assert dec["frames"].shape[0] > 0 and len(dec["audio"]) > 0
+        t_video = float(dec["frame_times"][int(np.argmax(dec["scene_scores"]))])
+        # audio event: first 100 ms window whose dominant tone is the high one
+        sr, a = SR, dec["audio"]
+        win = int(0.1 * sr)
+        t_audio = None
+        for s0 in range(0, len(a) - win, win // 2):
+            if peak_freq(a[s0:s0 + win], sr) > 900.0:
+                t_audio = dec["audio_start"] + (s0 + win / 2) / sr
+                break
+        assert t_audio is not None, "tone transition not found in clip"
+        assert abs(t_video - t_audio) < 0.2, (
+            f"A/V events diverged: video cut at {t_video:.3f}s, "
+            f"audio transition at {t_audio:.3f}s"
+        )
+
+
 class TestWorkerPoolWithNativeDecode:
     def test_spawned_decode_workers_load_the_native_lib(self, tmp_path):
         """Production decode runs in spawned worker processes — each child
