@@ -451,9 +451,29 @@ def bench_stages(batch=64):
     return out
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (repo-local, survives across runs).
+
+    The bench is compile-dominated (~25 min of its ~37 min wall on the
+    tunneled v5e is XLA compiles); the persistent cache makes repeat runs
+    start in seconds (verified working through the axon remote-compile
+    plugin: 7.3 s -> 0.5 s on a probe jit)."""
+    import jax
+
+    cache = Path(__file__).resolve().parent / ".jax_compile_cache"
+    try:
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax or read-only checkout: compile as usual
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from acav100m_tpu.ops import kmeans, mi
     from acav100m_tpu.ops.pairing import get_cluster_pairing
