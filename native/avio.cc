@@ -339,7 +339,16 @@ int av_decode(const char* path, const uint8_t* data, int64_t len,
   std::vector<uint8_t> rgb(size_t(out_w) * out_h * 3);
   std::vector<float> abuf;
 
+  // geometry the sws context (and the scdet SAD) were configured for —
+  // frames that switch resolution/pix_fmt mid-stream (malformed or
+  // variable containers) must not be fed into a mismatched scaler
+  const int cfg_w = d.vctx ? d.vctx->width : 0;
+  const int cfg_h = d.vctx ? d.vctx->height : 0;
+  const int cfg_fmt = d.vctx ? d.vctx->pix_fmt : -1;
+
   auto take_video = [&](AVFrame* f) {
+    if (f->width != cfg_w || f->height != cfg_h || f->format != cfg_fmt)
+      return;  // skip-and-continue, the pipeline's data-error policy
     int64_t this_idx = vidx++;
     if (!selected.empty() &&
         (this_idx >= int64_t(selected.size()) || !selected[size_t(this_idx)]))
