@@ -454,19 +454,36 @@ def bench_stages(batch=64):
 def _enable_compile_cache():
     """Persistent XLA compilation cache (repo-local, survives across runs).
 
-    The bench is compile-dominated (~25 min of its ~37 min wall on the
-    tunneled v5e is XLA compiles); the persistent cache makes repeat runs
-    start in seconds (verified working through the axon remote-compile
-    plugin: 7.3 s -> 0.5 s on a probe jit)."""
+    Saves the TPU executables across runs (verified through the axon
+    remote-compile plugin: 7.3 s -> 0.5 s on a probe jit). TPU-only:
+    XLA:CPU persists AOT code pinned to the *compiling* machine's CPU
+    features — under a remote-compile service that machine is not this
+    host, and loading such an entry warns of SIGILL risk (observed in
+    smoke runs). TPU executables target the accelerator, not the host,
+    so they are safe to persist."""
     import jax
 
-    cache = Path(__file__).resolve().parent / ".jax_compile_cache"
     try:
+        if jax.default_backend() == "cpu":
+            return
+        cache = Path(__file__).resolve().parent / ".jax_compile_cache"
         cache.mkdir(exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass  # older jax or read-only checkout: compile as usual
+
+
+_T0 = time.perf_counter()
+
+
+def _leg(label):
+    """Stderr progress line per bench leg (wall since start) — makes the
+    ~25-min tunneled run's time budget visible and diagnosable."""
+    import sys
+
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {label}",
+          file=sys.stderr, flush=True)
 
 
 def main():
@@ -505,6 +522,7 @@ def main():
         "computation.dtype": "bfloat16",
         "computation.fast_block": [4, 4, 4, 4, 4],
     })
+    _leg("build_models")
     models, params = build_models(cfg, key=jax.random.PRNGKey(0))
     extract = make_extract_fn(models)
     frames = jnp.asarray(
@@ -512,12 +530,14 @@ def main():
     )
     audio = jnp.asarray(rng.randn(batch, audio_len), jnp.float32)
     valid = jnp.full((batch,), audio_len, jnp.int32)
+    _leg("extract timeit")
     t_extract = timeit(lambda: extract(params, frames, audio, valid),
                        iters=10) / batch
 
     # MFU from XLA-counted flops (round-2 VERDICT weak #2: make MFU a
     # measured artifact, not a narrative claim)
     # `extract` is already jitted — lower/compile hits the executable cache
+    _leg("extract cost_analysis")
     extract_flops, extract_bytes = _cost_analysis(
         extract, params, frames, audio, valid
     )
@@ -550,6 +570,7 @@ def main():
                     params_q[name], frames
                 )
         extract_q = make_extract_fn(models_q)
+        _leg("int8 extract timeit")
         t_extract_int8 = timeit(
             lambda: extract_q(params_q, frames, audio, valid), iters=10
         ) / batch
@@ -559,6 +580,7 @@ def main():
     # -- stage 5: fused 10-way k-means (train 2 epochs + assign) -------------
     m, k, dmax = 10, 32, 2304
     kbatch_size = 1024 if not smoke else 64
+    _leg("kmeans legs")
     state = kmeans.init_state(jax.random.PRNGKey(0), [dmax] * m, k, dmax)
     state = state._replace(count=jnp.asarray(10 * k * 10, jnp.int32))
     kbatch = jnp.asarray(rng.randn(m, kbatch_size, dmax), jnp.float32)
@@ -589,6 +611,7 @@ def main():
         return step(selector.cache, selector.stats, selector.pairs_all, ids,
                     valid_mask)[0]["N"]
 
+    _leg("select timeit")
     t_sel_step = timeit(sel_step)
     # selection visits ~V/B batches to pick 0.2V -> per-clip cost = t/B
     t_select = t_sel_step / sel_batch
@@ -612,6 +635,7 @@ def main():
             return p_step(parity_selector.cache, parity_selector.stats,
                           parity_selector.pairs_all, p_ids, p_mask)[0]["N"]
 
+    _leg("parity select timeit")
     t_parity_step = timeit(parity_step)
     t_select_parity = t_parity_step / 20  # per scanned clip, like t_select
 
@@ -619,13 +643,16 @@ def main():
     device_only = 1.0 / t_clip
 
     # -- decode-inclusive end-to-end -----------------------------------------
+    _leg("e2e leg")
     host_rates, e2e, h2d_gbps, best_nw, cores = bench_e2e(
         extract, params, e2e_batch,
         num_frames=num_frames, size=size, audio_len=audio_len,
     )
+    _leg("mp4 decode leg")
     mp4_rates = bench_mp4_decode(size=size)
 
     # evaluation-subsystem pretrain step (fail-safe like int8)
+    _leg("pretrain leg")
     try:
         pretrain = bench_pretrain(smoke=smoke)
     except Exception as e:  # pragma: no cover - report, don't kill the bench
@@ -652,6 +679,7 @@ def main():
     # overlap quality on THIS rig: measured e2e vs its own min leg
     overlap_efficiency = e2e / e2e_projected if e2e_projected > 0 else None
 
+    _leg("done, emitting json")
     print(
         json.dumps(
             {

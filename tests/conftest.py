@@ -23,14 +23,9 @@ if not os.environ.get("ACAV_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
-    # persistent XLA compile cache: the suite is compile-dominated on the
-    # 1-core CPU mesh; cached runs cut wall time substantially
-    from pathlib import Path as _Path
-
-    _cache = _Path(__file__).resolve().parent.parent / ".jax_compile_cache"
-    try:
-        _cache.mkdir(exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(_cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # NO persistent compile cache on the CPU suite: XLA:CPU persists AOT
+    # code pinned to the *compiling* machine's CPU features, and under
+    # this image's remote-compile service that machine is not this host —
+    # loading such entries warns of SIGILL risk (observed hanging a smoke
+    # bench). The TPU bench/graft paths do cache (executables target the
+    # accelerator, safe to persist).
