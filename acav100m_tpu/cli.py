@@ -71,7 +71,11 @@ def cmd_segment(args):
         backend = open_video_backend(path, getattr(args, "backend", "auto"))
         clips, paths = segment_video(
             backend, args.out_dir, path.stem,
-            num_clips=args.num_clips, sampling=args.sampling, rng=rng,
+            num_clips=args.num_clips, sampling=args.sampling,
+            cut_random_clips=getattr(args, "cut_random_clips", None),
+            calc_diversity_with_sum=getattr(
+                args, "calc_diversity_with_sum", False),
+            rng=rng,
         )
         count += len(paths)
     print(f"extracted {count} clips to {args.out_dir}")
@@ -299,6 +303,8 @@ def main(argv=None):
     p.add_argument("out_dir")
     p.add_argument("--num_clips", type=int, default=3)
     p.add_argument("--sampling", default="diversity_greedy")
+    p.add_argument("--cut_random_clips", type=int, default=None)
+    p.add_argument("--calc_diversity_with_sum", action="store_true")
     p.add_argument("--seed", type=int, default=98052)
     p.add_argument("--backend", default="auto",
                    choices=["auto", "native", "ffmpeg", "opencv"])

@@ -381,6 +381,8 @@ def segment_video(
     force_num_clips: bool = True,
     anneal_factor: float = 1.2,
     sampling: str = "diversity_greedy",
+    cut_random_clips: Optional[int] = None,
+    calc_diversity_with_sum: bool = False,
     rng: Optional[random.Random] = None,
 ) -> Tuple[List[List[float]], List[str]]:
     """Segment one video into <= num_clips diverse clips
@@ -427,6 +429,15 @@ def segment_video(
     if force_num_clips and len(valid_clips) > num_clips and sampling == "random":
         valid_clips = sorted(rng.sample(valid_clips, num_clips))
 
+    if sampling == "diversity" and cut_random_clips is not None:
+        # reference quirk reproduced: samples num_clips (not
+        # cut_random_clips) then cuts, so with the asserted
+        # cut_random_clips >= num_clips the cut is a no-op and diversity
+        # runs on a random num_clips-subset (extract_clips.py:257-259)
+        assert cut_random_clips >= num_clips, \
+            "cut_random clips should be larger than num_clips"
+        valid_clips = sorted(rng.sample(valid_clips, num_clips))[:cut_random_clips]
+
     if sampling == "diversity_greedy":
         # incremental min-similarity greedy (extract_clips.py:261-291)
         rng.shuffle(valid_clips)
@@ -458,11 +469,18 @@ def segment_video(
         if sampling == "diversity":
             n = len(valid_clips)
             sim = np.zeros((n, n))
+            # reference quirk reproduced: the PATH list is shuffled before
+            # the similarity matrix is built, but keep_idx still indexes
+            # the UNshuffled valid_clips for the returned intervals — the
+            # kept files and kept intervals are decoupled by design
+            # upstream (extract_clips.py:305,333)
+            rng.shuffle(paths)
             for i in range(n - 1):
                 for j in range(i + 1, n):
                     sim[i, j] = backend.similarity(paths[i], paths[j])
             sim = sim + sim.T
-            keep_idx = calc_diversity(sim, num_clips, calc_sum=False)
+            keep_idx = calc_diversity(sim, num_clips,
+                                      calc_sum=calc_diversity_with_sum)
             for i in range(n):
                 if i not in keep_idx:
                     os.remove(paths[i])
