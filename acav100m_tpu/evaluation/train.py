@@ -43,15 +43,19 @@ DATA_STD = (0.225, 0.225, 0.225)
 def lr_schedule(policy: str, base_lr: float, total_steps: int,
                 warmup_steps: int = 0, warmup_start_lr: float = 0.0,
                 end_lr: float = 0.0):
-    """optax schedule mirroring utils/lr_policy.py (cosine/linear +
-    linear warmup)."""
+    """optax schedule mirroring utils/lr_policy.py, quirks included
+    (oracle-tested in tests/test_aux_reference_parity.py): the LINEAR
+    policy's warmup ramps from 0 regardless of ``warmup_start_lr``
+    (lr_policy.py:25-27 — only cosine honors it, :29-33), and CONSTANT
+    ignores warmup entirely (:35-36)."""
     decay_steps = max(total_steps - warmup_steps, 1)
     if policy == "cosine":
         decay = optax.cosine_decay_schedule(base_lr, decay_steps, alpha=end_lr / base_lr if base_lr else 0.0)
     elif policy == "linear":
         decay = optax.linear_schedule(base_lr, end_lr, decay_steps)
+        warmup_start_lr = 0.0
     elif policy == "constant":
-        decay = optax.constant_schedule(base_lr)
+        return optax.constant_schedule(base_lr)
     else:
         raise ValueError(f"unknown lr policy {policy!r}")
     if warmup_steps > 0:

@@ -163,7 +163,12 @@ def import_stage(stage: str, module_names):
             if mod is None:
                 continue
             path = getattr(mod, "__file__", None) or ""
-            if str(code_dir) in str(path) or name in stage_mods or name in ("measures",):
+            # namespace packages (dirs without __init__.py, e.g.
+            # evaluation/code/utils) have no __file__ — match on __path__
+            # or they leak across stages and shadow same-named modules
+            ns_paths = " ".join(str(p) for p in getattr(mod, "__path__", ()) or ())
+            if (str(code_dir) in str(path) or str(code_dir) in ns_paths
+                    or name in stage_mods or name in ("measures",)):
                 stage_mods[name] = mod
                 del sys.modules[name]
     return out

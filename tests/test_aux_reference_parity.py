@@ -1,0 +1,217 @@
+"""More executable parity against reference code that runs in this image.
+
+Three additional oracle surfaces, all pure CPU:
+
+* **VGGish log-mel front end** — the reference's own
+  ``models/utils_vggish/mel_features.py`` (pure numpy) and
+  ``preprocess.py::_preprocess`` (torch + a never-called resampy import,
+  stubbed) executed against ``ops/melspec.py``'s GEMM formulation: the mel
+  filterbank and periodic-Hann window are compared exactly, framing
+  bit-exactly, and the full waveform -> (N, 96, 64) log-mel example stack
+  to fp32 tolerance across aligned and ragged clip lengths.
+* **Learning-rate policy** — ``evaluation/code/utils/lr_policy.py::get_lr``
+  vs ``evaluation.train.lr_schedule`` over every policy, sweeping all
+  steps of several (total, warmup) configs. Pins the reference's quirk
+  that the LINEAR policy ignores ``warmup_start_lr`` (lr_policy.py:25-27)
+  while cosine honors it (:29-33).
+* **Shard placement** — ``mps/distributed.py::node_selection`` (incl.
+  wrap-around train mode), ``worker_urls`` (driven through a patched
+  ``torch.utils.data.get_worker_info``), and ``get_length`` (world size
+  injected) vs ``utils/shards.py``.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import random
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests import reference_oracle as ro
+
+pytestmark = pytest.mark.skipif(
+    not ro.has_reference(), reason="reference not present"
+)
+
+
+# -- VGGish front end ---------------------------------------------------------
+
+def vggish_ref():
+    """Load the reference's utils_vggish as an isolated package; resampy is
+    stubbed (only called when sample_rate != 16000, which these tests never
+    do)."""
+    if "refvgg.preprocess" in sys.modules:
+        return (sys.modules["refvgg.mel_features"],
+                sys.modules["refvgg.preprocess"])
+    base = ro.REFERENCE / "feature_extraction" / "code" / "models" / "utils_vggish"
+    if "resampy" not in sys.modules:
+        try:
+            importlib.import_module("resampy")
+        except ImportError:
+            stub = types.ModuleType("resampy")
+            stub.resample = None  # never called at 16 kHz
+            sys.modules["resampy"] = stub
+    pkg = types.ModuleType("refvgg")
+    pkg.__path__ = [str(base)]
+    sys.modules["refvgg"] = pkg
+    mods = {}
+    for name in ("mel_features", "preprocess"):
+        spec = importlib.util.spec_from_file_location(
+            f"refvgg.{name}", base / f"{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refvgg.{name}"] = mod
+        spec.loader.exec_module(mod)
+        mods[name] = mod
+    return mods["mel_features"], mods["preprocess"]
+
+
+class TestVggishFrontendParity:
+    def test_mel_matrix_exact(self):
+        from acav100m_tpu.ops import melspec
+
+        mf, _ = vggish_ref()
+        want = mf.spectrogram_to_mel_matrix(
+            num_mel_bins=64, num_spectrogram_bins=257,
+            audio_sample_rate=16000,
+            lower_edge_hertz=125, upper_edge_hertz=7500,
+        )
+        got = melspec.mel_matrix()
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)
+
+    def test_periodic_hann_exact(self):
+        from acav100m_tpu.ops import melspec
+
+        mf, _ = vggish_ref()
+        np.testing.assert_allclose(
+            melspec.periodic_hann(400), mf.periodic_hann(400), rtol=0, atol=0
+        )
+
+    def test_framing_bit_exact(self):
+        import jax.numpy as jnp
+
+        from acav100m_tpu.ops import melspec
+
+        mf, _ = vggish_ref()
+        rng = np.random.RandomState(0)
+        for n in (400, 560, 16000, 16123):
+            x = rng.randint(-100, 100, size=n).astype(np.float32)
+            want = mf.frame(x, 400, 160)
+            got = np.asarray(melspec.frame_signal(jnp.asarray(x), 400, 160))
+            np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("num_samples", [16000, 24000, 150000, 160000])
+    def test_examples_match_reference_preprocess(self, num_samples):
+        import jax.numpy as jnp
+
+        from acav100m_tpu.ops import melspec
+
+        _, pp = vggish_ref()
+        rng = np.random.RandomState(num_samples)
+        wav = rng.randn(num_samples).astype(np.float64) * 0.1
+        want = pp._preprocess(wav, 16000).detach().numpy()[:, 0]  # (N,96,64)
+        got = np.asarray(melspec.vggish_examples(jnp.asarray(wav, jnp.float32)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+# -- learning-rate policy -----------------------------------------------------
+
+class TestLrPolicyParity:
+    def _ref(self):
+        return ro.import_stage("evaluation", ["utils.lr_policy"])[
+            "utils.lr_policy"
+        ]
+
+    @pytest.mark.parametrize("policy", ["linear", "cosine", "constant"])
+    @pytest.mark.parametrize("total,warmup", [(40, 0), (40, 8), (173, 31)])
+    def test_full_sweep(self, policy, total, warmup):
+        from acav100m_tpu.evaluation.train import lr_schedule
+
+        ref = self._ref()
+        base_lr, ws = 0.1, 0.004
+        sched = lr_schedule(policy, base_lr, total, warmup_steps=warmup,
+                            warmup_start_lr=ws)
+        for step in range(total + 1):
+            want = ref.get_lr(policy, base_lr, ws, step, total, warmup)
+            got = float(sched(step))
+            # optax evaluates in f32; near the cosine tail the absolute
+            # values are ~1e-4 so f32 cos noise needs the abs term
+            assert got == pytest.approx(want, rel=1e-4, abs=1e-7), (
+                policy, step, got, want
+            )
+
+
+# -- shard placement ----------------------------------------------------------
+
+class TestShardPlacementParity:
+    def _dist(self):
+        return ro.import_stage("feature_extraction", ["mps.distributed"])[
+            "mps.distributed"
+        ]
+
+    def test_node_selection(self):
+        from acav100m_tpu.utils import shards
+
+        dmod = self._dist()
+        for n in range(1, 11):
+            urls = [f"shard-{i:06d}.tar" for i in range(n)]
+            for total in range(1, 6):
+                for index in range(total):
+                    for is_train in (False, True):
+                        want = dmod.node_selection(
+                            list(urls), index=index, total=total,
+                            is_train=is_train,
+                        )
+                        got = shards.node_selection(
+                            urls, index, total, is_train=is_train
+                        )
+                        assert got == want, (n, index, total, is_train)
+
+    def test_worker_urls(self):
+        import torch.utils.data as tud
+
+        from acav100m_tpu.utils import shards
+
+        dmod = self._dist()
+        orig = tud.get_worker_info
+        try:
+            for n in range(1, 9):
+                urls = [f"s{i}" for i in range(n)]
+                for nw in range(1, 5):
+                    for wid in range(nw):
+                        info = types.SimpleNamespace(id=wid, num_workers=nw)
+                        tud.get_worker_info = lambda info=info: info
+                        # the reference reads the function through the
+                        # torch module at call time
+                        assert dmod.worker_urls(list(urls)) == \
+                               shards.worker_selection(urls, wid, nw)
+        finally:
+            tud.get_worker_info = orig
+
+    def test_get_length(self):
+        from acav100m_tpu.utils import shards
+
+        dmod = self._dist()
+        rng = random.Random(7)
+        orig = dmod.get_world_size
+        try:
+            for _ in range(60):
+                n = rng.randint(1, 12)
+                sizes = [rng.randint(1, 900) for _ in range(n)]
+                batch = rng.choice([1, 4, 32])
+                nw = rng.randint(0, 6)
+                total = rng.randint(1, 4)
+                is_train = rng.random() < 0.5
+                dmod.get_world_size = lambda total=total: total
+                want = dmod.get_length(list(sizes), batch, nw, is_train=is_train)
+                got = shards.get_length(sizes, batch, nw, total,
+                                        is_train=is_train)
+                assert got == want, (sizes, batch, nw, total, is_train)
+        finally:
+            dmod.get_world_size = orig
