@@ -31,15 +31,33 @@ def get_diagonal(keys: Sequence) -> List[List[int]]:
     return list(names.values())
 
 
+def get_single_layer(keys: Sequence, layer: int = -1) -> List[List[int]]:
+    """One group: every view's clustering of the ``layer``-th name in
+    sorted order (retrieval ``cluster_pairing.py:24-34`` — the reference
+    indexes the sorted name list positionally, not by name match)."""
+    names = defaultdict(list)
+    for idx, key in enumerate(keys):
+        names[key[1]].append(idx)
+    name = sorted(names)[layer]
+    return [names[name]]
+
+
+def get_penultimate(keys: Sequence) -> List[List[int]]:
+    return get_single_layer(keys, layer=4)
+
+
 _PAIRINGS = {
     "diagonal": get_diagonal,
     "bipartite": get_bipartite,
     "combination": get_combination,
+    "penultimate": get_penultimate,
 }
 
 
 def get_cluster_pairing(keys: Sequence, cluster_pairing: str):
     cluster_pairing = cluster_pairing.lower()
+    if cluster_pairing.startswith("layer_"):
+        return get_single_layer(keys, int(cluster_pairing.rsplit("_", 1)[1]))
     if cluster_pairing not in _PAIRINGS:
         raise ValueError(f"invalid cluster pairing type: {cluster_pairing}")
     return _PAIRINGS[cluster_pairing](keys)

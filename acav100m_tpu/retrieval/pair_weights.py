@@ -47,4 +47,5 @@ def get_weights(pairing: Sequence[Tuple[int, int]],
     n_layer = (int(np.array(list(pairing)).max()) + 1) // 2
     lw = _layer_weights(n_layer, weight_type)
     lw = np.concatenate([lw, lw])
-    return np.array([lw[a] * lw[b] for a, b in pairing], dtype=np.float32)
+    # f64 like the reference (host-side scalars; device scorers cast)
+    return np.array([lw[a] * lw[b] for a, b in pairing], dtype=np.float64)

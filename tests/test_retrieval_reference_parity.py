@@ -62,11 +62,17 @@ class RngShim:
         self.p = provider
 
     def permutation(self, n):
+        if np.ndim(n) > 0:
+            arr = np.asarray(n)
+            return arr[self.p.permutation(len(arr))]
         return self.p.permutation(n)
 
     def choice(self, n, size=None, replace=True):
         assert not replace
         return self.p.permutation(n)[:size]
+
+    def randint(self, n):
+        return int(self.p.rng.randint(n))
 
 
 class patched_global_random:
@@ -249,3 +255,136 @@ class TestOptimizerParity:
         assert got_g == got_c  # submodular => lazy == naive
         np.testing.assert_allclose(got_g_gain, ref_g_gain, rtol=1e-12)
         np.testing.assert_allclose(got_c_gain, ref_c_gain, rtol=1e-12)
+
+
+# -- cluster pairing + pair weights --------------------------------------------
+
+REF_KEYS = [f"{view}_layer_{i}" for view in ("img", "snd") for i in range(5)]
+REPO_KEYS = [(view, f"layer_{i}") for view in ("img", "snd") for i in range(5)]
+
+
+class TestPairingWeightsParity:
+    def _mods(self):
+        return ro.import_stage(
+            "correspondence_retrieval", ["cluster_pairing", "pair_weights"]
+        )
+
+    @pytest.mark.parametrize("pairing", [
+        "combination", "bipartite", "diagonal", "penultimate",
+        "layer_0", "layer_3",
+    ])
+    def test_pairings(self, pairing):
+        from acav100m_tpu.ops.pairing import get_cluster_pairing
+
+        mods = self._mods()
+        want = mods["cluster_pairing"].get_cluster_pairing(
+            list(REF_KEYS), pairing
+        )
+        got = get_cluster_pairing(REPO_KEYS, pairing)
+        assert [list(p) for p in got] == [list(p) for p in want]
+
+    @pytest.mark.parametrize("weight_type", [
+        "linear", "log", "exp", "linear_2", "log_0.5", "exp_2", "onehot_3",
+    ])
+    def test_pair_weights(self, weight_type):
+        from acav100m_tpu.ops.pairing import get_combination
+        from acav100m_tpu.retrieval.pair_weights import get_weights
+
+        mods = self._mods()
+        pairing = get_combination(REPO_KEYS)
+        want = mods["pair_weights"].get_weights(
+            list(REF_KEYS), [tuple(p) for p in pairing], weight_type
+        )
+        got = get_weights(pairing, weight_type)
+        assert [tuple(p) for p in want["pairing"]] == [tuple(p) for p in pairing]
+        np.testing.assert_allclose(got, want["weights"], rtol=1e-12)
+
+    def test_no_weight_type_passthrough(self):
+        from acav100m_tpu.retrieval.pair_weights import get_weights
+
+        assert get_weights([(0, 1)], None) is None  # unweighted scorers
+
+
+# -- start indices ------------------------------------------------------------
+
+class _ClusteringStub:
+    """Duck-type of the reference's Clustering object for one assignment
+    column: ncentroids / cen2ind / get_assignment."""
+
+    def __init__(self, column: np.ndarray):
+        self.assignment = np.asarray(column)
+        self.ncentroids = int(self.assignment.max()) + 1
+        self.cen2ind = {
+            c: np.where(self.assignment == c)[0].tolist()
+            for c in range(self.ncentroids)
+        }
+
+    def get_assignment(self, idx):
+        return int(self.assignment[idx])
+
+
+class TestStartIndicesParity:
+    def _mod(self):
+        return ro.import_stage("correspondence_retrieval", ["start_indices"])[
+            "start_indices"
+        ]
+
+    def test_zero(self):
+        from acav100m_tpu.retrieval.start_indices import get_start_indices
+
+        ref = self._mod()
+        assert get_start_indices("zero", np.zeros((4, 2), int)) == \
+               ref.get_zero(None, None, None)
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_random_one_per_class(self, seed):
+        from acav100m_tpu.retrieval.start_indices import get_start_indices
+
+        ref = self._mod()
+        provider = PermProvider(seed)
+        orig = random.randrange
+        try:
+            random.randrange = lambda n: int(provider.rng.randint(n))
+            want = ref.get_random_one_per_class(None, 7, 13)
+        finally:
+            random.randrange = orig
+        got = get_start_indices(
+            "random_one_per_class", np.zeros((91, 2), int),
+            nclasses=7, ntargets_per_class=13, rng=RngShim(PermProvider(seed)),
+        )
+        assert got == want
+
+    @pytest.mark.parametrize("seed", [0, 5])
+    def test_random_uniform_cluster(self, seed):
+        from acav100m_tpu.retrieval.start_indices import get_start_indices
+
+        ref = self._mod()
+        rng = np.random.RandomState(100 + seed)
+        # every pivot centroid non-empty (the reference asserts full
+        # coverage and indexes cen2ind unconditionally)
+        n, k = 60, 6
+        col_a = np.concatenate([np.arange(k), rng.randint(0, k, n - k)])
+        col_b = rng.randint(0, 4, n)
+        assignments = np.stack([col_a, col_b], axis=1)
+        clustering = {
+            "a": _ClusteringStub(assignments[:, 0]),
+            "b": _ClusteringStub(assignments[:, 1]),
+        }
+
+        provider = PermProvider(seed)
+
+        def shuffle(arr):
+            arr[:] = np.asarray(arr)[provider.permutation(len(arr))]
+
+        orig = np.random.shuffle
+        try:
+            np.random.shuffle = shuffle
+            want = ref.get_random_uniform_cluster(clustering, None, None)
+        finally:
+            np.random.shuffle = orig
+
+        got = get_start_indices(
+            "random_uniform_cluster", assignments,
+            rng=RngShim(PermProvider(seed)),
+        )
+        assert got == want
