@@ -24,7 +24,9 @@ from __future__ import annotations
 import math
 import time
 from pathlib import Path
-from typing import Any, Callable, Dict, Iterable, NamedTuple, Optional, Tuple
+from typing import (
+    Any, Callable, Dict, Iterable, NamedTuple, Optional, Sequence, Tuple,
+)
 
 import jax
 import jax.numpy as jnp
@@ -294,6 +296,46 @@ def pretrain(
 
 # -- linear eval ---------------------------------------------------------------------
 
+def accumulate_ensemble(scores: Dict[int, np.ndarray], logits: np.ndarray,
+                        video_indices, method: str = "sum") -> None:
+    """Fold one batch of per-clip logits into per-video ensembled scores
+    (reference ClassifyTestMeter.update_stats, utils/meters.py:578-614).
+
+    ``max`` maxes actual scores only — the reference maxes against its
+    zero-initialized buffer, silently clipping negative logits to 0
+    (meters.py:561,603-606); our pipeline ensembles softmax-free logits so
+    the sane init is the first view's scores. The dedup of repeated
+    (video, clip) views is also not replicated: the loaders enumerate each
+    view exactly once.
+    """
+    for j, vid in enumerate(video_indices):
+        vid = int(vid)
+        if method == "sum":
+            scores[vid] = scores.get(vid, 0.0) + logits[j]
+        elif method == "max":
+            scores[vid] = (
+                np.maximum(scores[vid], logits[j]) if vid in scores
+                else np.asarray(logits[j], dtype=np.float64)
+            )
+        else:
+            raise ValueError(f"unsupported ensemble method {method!r}")
+
+
+def ensemble_topk(scores: Dict[int, np.ndarray],
+                  labels_by_video: Dict[int, int],
+                  ks: Sequence[int] = (1, 5)) -> Dict[int, float]:
+    """Per-video ensembled top-k accuracies in percent (reference
+    ClassifyTestMeter.finalize_metrics + metrics.topks_correct)."""
+    n = len(scores)
+    correct = {k: 0 for k in ks}
+    for vid, sc in scores.items():
+        order = np.argsort(sc)[::-1]
+        label = labels_by_video[vid]
+        for k in ks:
+            correct[k] += int(label in order[:k])
+    return {k: 100.0 * correct[k] / n for k in ks}
+
+
 def make_feature_fn(backbone_variables: Dict, mode: str = "multimodal"):
     """Frozen-backbone feature extractor (visual / audio / multimodal)."""
     from .models import AudioResNet2D, VisualResNet3D
@@ -416,25 +458,19 @@ def linear_eval(
     for batch in test_batches:
         feats = feature_fn(jnp.asarray(batch["visual"]), jnp.asarray(batch["audio"]))
         logits = np.asarray(eval_head.apply({"params": params}, feats))
+        accumulate_ensemble(score_sums, logits, batch["video_index"])
         for j, vid in enumerate(batch["video_index"]):
-            vid = int(vid)
-            score_sums[vid] = score_sums.get(vid, 0.0) + logits[j]
-            labels_by_video[vid] = int(batch["label"][j])
+            labels_by_video[int(vid)] = int(batch["label"][j])
     if not score_sums:
         return {"top1": 0.0, "top5": 0.0, "history": history, "params": params}
-    correct1 = correct5 = 0
-    for vid, scores in score_sums.items():
-        order = np.argsort(scores)[::-1]
-        label = labels_by_video[vid]
-        correct1 += int(order[0] == label)
-        correct5 += int(label in order[:5])
-    n = len(score_sums)
+    topk = ensemble_topk(score_sums, labels_by_video, ks=(1, 5))
     result = {
-        "top1": 100.0 * correct1 / n,
-        "top5": 100.0 * correct5 / n,
+        "top1": topk[1],
+        "top5": topk[5],
         "history": history,
         "params": params,
     }
+    n = len(score_sums)
     log_json_stats(
         {"_type": "test_epoch", "top1_acc": result["top1"],
          "top5_acc": result["top5"], "num_videos": n},

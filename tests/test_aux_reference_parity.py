@@ -215,3 +215,109 @@ class TestShardPlacementParity:
                 assert got == want, (sizes, batch, nw, total, is_train)
         finally:
             dmod.get_world_size = orig
+
+
+# -- test-meter ensembling ----------------------------------------------------
+
+class TestMeterParity:
+    def test_meter_ensembling(self):
+        """ClassifyTestMeter's multi-view ensemble + topks_correct executed
+        as the oracle for accumulate_ensemble/ensemble_topk (the math of
+        linear_eval's test pass). fvcore is absent in-image; its Timer is
+        the only symbol meters.py touches, so it is stubbed."""
+        import torch
+
+        from acav100m_tpu.evaluation.train import (
+            accumulate_ensemble,
+            ensemble_topk,
+        )
+
+        if "fvcore" not in sys.modules:
+            try:
+                importlib.import_module("fvcore")
+            except ImportError:
+                fv = types.ModuleType("fvcore")
+                common = types.ModuleType("fvcore.common")
+                timer = types.ModuleType("fvcore.common.timer")
+
+                class Timer:
+                    def reset(self):
+                        pass
+
+                    def pause(self):
+                        pass
+
+                    def seconds(self):
+                        return 0.0
+
+                timer.Timer = Timer
+                fv.common = common
+                common.timer = timer
+                sys.modules["fvcore"] = fv
+                sys.modules["fvcore.common"] = common
+                sys.modules["fvcore.common.timer"] = timer
+
+        mods = ro.import_stage("evaluation", ["utils.meters", "utils.metrics"])
+        meters, metrics = mods["utils.meters"], mods["utils.metrics"]
+
+        rng = np.random.RandomState(0)
+        n_videos, n_clips, n_cls = 30, 6, 11
+        # softmax-like nonnegative scores: the reference's "max" ensemble
+        # maxes against a zero-initialized buffer (meters.py:561,603),
+        # which only equals a true running max for nonnegative scores
+        logits = rng.rand(n_videos * n_clips, n_cls)
+        labels = rng.randint(0, n_cls, size=n_videos)
+
+        for method in ("sum", "max"):
+            meter = meters.ClassifyTestMeter(
+                n_videos, n_clips, n_cls, overall_iters=1,
+                ensemble_method=method, log_period=10**9,
+            )
+            scores: dict = {}
+            labels_by_video: dict = {}
+            order = rng.permutation(n_videos * n_clips)
+            for start in range(0, len(order), 7):  # ragged batches
+                idx = order[start:start + 7]
+                batch_logits = logits[idx]
+                batch_videos = idx // n_clips
+                meter.update_stats(
+                    torch.tensor(batch_logits),
+                    torch.tensor(labels[batch_videos]),
+                    torch.tensor(idx),
+                )
+                accumulate_ensemble(scores, batch_logits, batch_videos,
+                                    method=method)
+                for v in batch_videos:
+                    labels_by_video[int(v)] = int(labels[v])
+
+            got = ensemble_topk(scores, labels_by_video, ks=(1, 5))
+            # compat patch (same spirit as reference_oracle.patch_cuda):
+            # metrics.py:37 calls .view(-1) on a non-contiguous transposed
+            # slice, which this image's torch 2.13 rejects — fall back to
+            # reshape for the duration of the oracle call
+            orig_view = torch.Tensor.view
+
+            def view_or_reshape(self, *shape):
+                try:
+                    return orig_view(self, *shape)
+                except RuntimeError:
+                    return self.reshape(*shape)
+
+            torch.Tensor.view = view_or_reshape
+            try:
+                correct = metrics.topks_correct(
+                    meter.point_preds, meter.point_labels, (1, 5)
+                )
+            finally:
+                torch.Tensor.view = orig_view
+            want = {
+                k: float(c) / n_videos * 100.0
+                for k, c in zip((1, 5), correct)
+            }
+            assert got[1] == pytest.approx(want[1], abs=1e-9), method
+            assert got[5] == pytest.approx(want[5], abs=1e-9), method
+            # the ensembled score tables themselves agree
+            stacked = np.stack([scores[v] for v in range(n_videos)])
+            np.testing.assert_allclose(
+                stacked, meter.point_preds.numpy(), rtol=1e-6, atol=1e-9
+            )
