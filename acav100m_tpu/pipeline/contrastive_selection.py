@@ -143,8 +143,10 @@ def rank_and_cut(metas: Sequence[Dict], scores: np.ndarray,
                  subset_size: Optional[int] = None,
                  dedupe: bool = True) -> List[Dict]:
     """Sort by score desc, dedupe by filename, cut top-k
-    (``do_sample.py:25-177``)."""
-    order = np.argsort(-scores)
+    (``do_sample.py:25-177``). Ties break by filename ascending like the
+    reference's ``sort -k 1,1gr -k 2``."""
+    order = sorted(range(len(metas)),
+                   key=lambda i: (-scores[i], metas[i]["filename"]))
     if subset_size is None:
         subset_size = round(subset_ratio * len(metas))
     out, seen = [], set()
@@ -197,7 +199,9 @@ def merge_contrastive_csvs(cache_csvs, out_path, subset_size=None,
             for row in _csv.reader(f):
                 if len(row) >= 3:
                     rows.append((row[0], row[1], float(row[2])))
-    rows.sort(key=lambda r: -r[2])
+    # score desc, filename asc — the reference's `sort -k 1,1gr -k 2`
+    # (merge_contrastive.py:48, oracle-tested)
+    rows.sort(key=lambda r: (-r[2], r[1]))
     if subset_size is None:
         subset_size = round(subset_ratio * len(rows))
     out, seen = [], set()

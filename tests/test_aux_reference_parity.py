@@ -217,6 +217,123 @@ class TestShardPlacementParity:
             dmod.get_world_size = orig
 
 
+# -- spatial transforms -------------------------------------------------------
+
+class TestTransformParity:
+    def test_uniform_crop(self):
+        """Reference data/transform.py::uniform_crop (the test-time
+        NUM_SPATIAL_CROPS enumeration) vs uniform_crop_offsets. torchaudio
+        is absent in-image and only used inside the (unexercised) log-mel
+        helpers, so a bare module stub suffices."""
+        import torch
+
+        if "torchaudio" not in sys.modules:
+            try:
+                importlib.import_module("torchaudio")
+            except ImportError:
+                sys.modules["torchaudio"] = types.ModuleType("torchaudio")
+
+        # loaded by file path: transform.py has no relative imports, and
+        # going through the data package would pull ucf101/acav (PyAV,
+        # vendored wds — absent/heavy)
+        if "reftransform" in sys.modules:
+            tmod = sys.modules["reftransform"]
+        else:
+            spec = importlib.util.spec_from_file_location(
+                "reftransform",
+                ro.REFERENCE / "evaluation" / "code" / "data" / "transform.py",
+            )
+            tmod = importlib.util.module_from_spec(spec)
+            sys.modules["reftransform"] = tmod
+            spec.loader.exec_module(tmod)
+        from acav100m_tpu.evaluation.data import uniform_crop_offsets
+
+        rng = np.random.RandomState(0)
+        for h, w in [(128, 171), (171, 128), (112, 112), (130, 120),
+                     (120, 130), (113, 200)]:
+            images = rng.randint(0, 255, size=(4, 3, h, w)).astype(np.float32)
+            for size in (112, min(h, w)):
+                for spatial_idx in (0, 1, 2):
+                    want = tmod.uniform_crop(
+                        torch.tensor(images), size, spatial_idx
+                    ).numpy()
+                    y, x = uniform_crop_offsets(h, w, size, spatial_idx)
+                    got = images[:, :, y:y + size, x:x + size]
+                    np.testing.assert_array_equal(got, want, err_msg=str(
+                        (h, w, size, spatial_idx)
+                    ))
+
+
+# -- stage-6 contrastive post-sampling (coreutils pipeline) -------------------
+
+class TestMergeContrastiveParity:
+    def test_sort_dedupe_chain(self, tmp_path):
+        """The reference's merge_contrastive.py post-processing is a shell
+        pipeline (cat -> `sort -t , -u -k 1,1gr -k 2` -> awk score-strip ->
+        awk '!visited[$0]++'); coreutils exist in-image so the ACTUAL
+        pipeline runs as the oracle for merge_contrastive_csvs. Covers
+        score-descending order, the filename-ascending tie-break, exact
+        duplicate-row collapse, and first-wins dedupe. Filenames are
+        globally unique (one shard per filename) — the repo dedupes by
+        filename where the reference dedupes whole lines, which only
+        differs when one filename legitimately spans shards."""
+        from acav100m_tpu.pipeline.contrastive_selection import (
+            merge_contrastive_csvs,
+        )
+
+        mc = ro.import_stage("subset_selection", ["merge_contrastive"])[
+            "merge_contrastive"
+        ]
+
+        rng = np.random.RandomState(0)
+        n = 60
+        scores = np.round(rng.rand(n), 2)  # 2 decimals -> real ties
+        rows = [
+            (f"shard-{i % 4:06d}", f"vid{i:04d}", float(scores[i]))
+            for i in range(n)
+        ]
+        rows += rows[:7]  # exact duplicate rows
+
+        # reference-format caches (score,filename,shard) + repo-format
+        # caches (shard,filename,score), same 3-way split
+        (tmp_path / "caches").mkdir()
+        ref_paths, repo_paths = [], []
+        for ci, chunk in enumerate([rows[0::3], rows[1::3], rows[2::3]]):
+            rp = tmp_path / f"refcache_{ci}.csv"
+            rp.write_text("".join(
+                f"{s:.2f},{f},{sh}\n" for sh, f, s in chunk
+            ))
+            ref_paths.append(rp)
+            op = tmp_path / f"repocache_{ci}.csv"
+            op.write_text("".join(
+                f"{sh},{f},{s:.2f}\n" for sh, f, s in chunk
+            ))
+            repo_paths.append(op)
+
+        out_path = tmp_path / "output.csv"
+        mc.merge_csvs(ref_paths, out_path, "merged")
+        mc.sort_csv(out_path, "merged", "sorted")
+        mc.remove_scores(out_path, "sorted", "scoreless")
+        final = mc.remove_duplicates(out_path, "scoreless", "unique")
+        want = [
+            tuple(line.split(","))  # (filename, shard)
+            for line in Path(final).read_text().splitlines()
+        ]
+
+        got_path, count = merge_contrastive_csvs(
+            repo_paths, tmp_path / "repo_out.csv", subset_ratio=1.0,
+        )
+        got = [
+            (f, sh)
+            for sh, f, _ in (
+                line.split(",")
+                for line in Path(got_path).read_text().splitlines()
+            )
+        ]
+        assert count == len(want)
+        assert got == want
+
+
 # -- test-meter ensembling ----------------------------------------------------
 
 class TestMeterParity:
