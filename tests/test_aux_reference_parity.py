@@ -264,6 +264,101 @@ class TestTransformParity:
                     ))
 
 
+# -- stage-4 output schema ----------------------------------------------------
+
+class TestOutputSchemaParity:
+    def test_save_output_rows_equal_and_cross_readable(self, tmp_path):
+        """The reference's own ``save.py::_save_output`` writes a feature
+        pkl from synthetic per-model data; the repo writes the same rows
+        via make_feature_row/save_shard_output. Loaded rows must be
+        content-equal (dict key order differs, which pickle preserves but
+        readers never depend on), and the repo's stage-5 row parser must
+        consume the REFERENCE-written pkl unchanged — the mutual-
+        resumability claim, executed."""
+        from acav100m_tpu.pipeline.clustering import (
+            clustering_types_from_row,
+            row_features,
+        )
+        from acav100m_tpu.utils.io import (
+            load_pickle,
+            make_feature_row,
+            save_shard_output,
+        )
+
+        save = ro.import_stage("feature_extraction", ["save"])["save"]
+
+        shard = "shard-000000"
+        rng = np.random.RandomState(0)
+        vdims = [88, 352, 704, 1408, 2304]
+        adims = [64, 128, 256, 512, 128]
+        clips = [f"clip{i}.mp4" for i in range(3)]
+
+        def point(dims, fname):
+            return {
+                "features": [rng.randn(d).astype(np.float32) for d in dims],
+                "filename": fname, "shard_size": 3, "shard_name": shard,
+            }
+
+        data = [
+            {"model_key": "layer_slow_fast", "name": "SLOWFAST_8x8_R50",
+             "dataset": "kinetics-400",
+             "data": {i: point(vdims, c) for i, c in enumerate(clips)}},
+            {"model_key": "layer_vggish", "name": "VGGish",
+             "dataset": "YouTube-8M",
+             "data": {i: point(adims, c) for i, c in enumerate(clips)}},
+        ]
+
+        args = types.SimpleNamespace(
+            model_types=types.SimpleNamespace(audio=["layer_vggish"]),
+            data=types.SimpleNamespace(
+                output=types.SimpleNamespace(path=tmp_path / "ref")
+            ),
+        )
+        ref_path = save._save_output(args, shard, list(range(3)), data)
+        ref_rows = load_pickle(ref_path)
+
+        repo_rows = [
+            make_feature_row(
+                clips[i], shard, 3,
+                per_model=[
+                    {"model_key": m["model_key"],
+                     "extractor_name": m["name"], "dataset": m["dataset"],
+                     "array": m["data"][i]["features"]}
+                    for m in data
+                ],
+                audio_model_keys=["layer_vggish"],
+            )
+            for i in range(3)
+        ]
+        repo_path = save_shard_output(repo_rows, tmp_path / "repo", shard)
+        got_rows = load_pickle(repo_path)
+
+        assert len(got_rows) == len(ref_rows) == 3
+        for got, ref in zip(got_rows, ref_rows):
+            assert set(got) == set(ref)
+            for key in ("filename", "shard_name", "shard_size"):
+                assert got[key] == ref[key]
+            for side in ("video_features", "audio_features"):
+                assert len(got[side]) == len(ref[side])
+                for g, r in zip(got[side], ref[side]):
+                    assert set(g) == set(r)
+                    for key in ("model_key", "extractor_name", "dataset"):
+                        assert g[key] == r[key]
+                    assert set(g["array"]) == set(r["array"])
+                    for layer in r["array"]:
+                        np.testing.assert_array_equal(
+                            g["array"][layer], r["array"][layer]
+                        )
+
+        # cross-readability: the repo's stage-5 parser on REFERENCE rows
+        ref_types = clustering_types_from_row(ref_rows[0])
+        assert ref_types == clustering_types_from_row(got_rows[0])
+        for ref_row, got_row in zip(ref_rows, got_rows):
+            for a, b in zip(row_features(ref_row, ref_types),
+                            row_features(got_row, ref_types)):
+                np.testing.assert_array_equal(a, b)
+
+
 # -- stage-6 contrastive post-sampling (coreutils pipeline) -------------------
 
 class TestMergeContrastiveParity:
