@@ -20,9 +20,23 @@ from .optimizers import efficient_greedy
 
 
 def shard_split(dataset_size: int, num_shards: int,
-                rng: np.random.RandomState) -> List[np.ndarray]:
-    """Random disjoint shards covering the dataset."""
-    order = rng.permutation(dataset_size)
+                rng: Optional[np.random.RandomState] = None,
+                method: str = "random") -> List[np.ndarray]:
+    """Disjoint shards covering the dataset.
+
+    ``random`` (default): random membership via one permutation.
+    ``contiguous``: the reference's live slicing — equal ``size//n``
+    shards with the remainder folded into the LAST shard
+    (``sharded_derangement.py::get_shards``, oracle-tested)."""
+    if method == "contiguous":
+        size = dataset_size // num_shards
+        sizes = [size] * num_shards
+        sizes[-1] += dataset_size % num_shards
+        starts = np.cumsum([0] + sizes[:-1])
+        return [np.arange(s, s + n) for s, n in zip(starts, sizes)]
+    if method != "random":
+        raise ValueError(f"unknown shard split method {method!r}")
+    order = (rng or np.random.RandomState(0)).permutation(dataset_size)
     return [np.sort(part) for part in np.array_split(order, num_shards)]
 
 
@@ -34,6 +48,7 @@ def run_sharded_experiment(
     ncentroids: int = 8,
     clustering_method: str = "sklearn",
     measure: str = "mi",
+    shard_method: str = "random",
     seed: int = 0,
 ) -> Dict:
     """Returns per-shard precision/recall plus the micro-averaged scores."""
@@ -45,7 +60,8 @@ def run_sharded_experiment(
     }
     keys = [tuple(k.split("-", 1)) for k in sorted(feats)]
     pairs = get_cluster_pairing(keys, "combination")
-    shards = shard_split(der["dataset_size"], num_shards, rng)
+    shards = shard_split(der["dataset_size"], num_shards, rng,
+                         method=shard_method)
     true_ids = set(der["true_ids"])
 
     if shared_clustering:

@@ -305,6 +305,51 @@ class TestPairingWeightsParity:
         assert get_weights([(0, 1)], None) is None  # unweighted scorers
 
 
+# -- sharded derangement slicing ----------------------------------------------
+
+class TestShardedDerangementParity:
+    @pytest.mark.parametrize("dataset_size,num_shards", [
+        (100, 10), (103, 10), (47, 5), (12, 3),
+    ])
+    def test_get_shards_slicing(self, dataset_size, num_shards):
+        """The reference's LIVE sharding path (get_sharded_derangements
+        delegates everything else to the unsharded machinery, already
+        oracled above) is get_shards: contiguous equal slices with the
+        remainder folded into the LAST shard, per-shard true_ids rebased.
+        shard_split(method='contiguous') + the runner's membership test
+        must agree exactly."""
+        from acav100m_tpu.retrieval.sharded import shard_split
+
+        smod = ro.import_stage(
+            "correspondence_retrieval", ["derangement.sharded_derangement"]
+        )["derangement.sharded_derangement"]
+
+        rng = np.random.RandomState(dataset_size)
+        subset = dataset_size // 2
+        true_ids = sorted(
+            rng.choice(dataset_size, size=subset, replace=False).tolist()
+        )
+        features = {"v": list(range(dataset_size))}
+
+        sharded, sharded_ids = smod.get_shards(
+            dict(features), list(true_ids), dataset_size, subset,
+            nclasses=7, class_matches={}, num_shards=num_shards,
+        )
+
+        shards = shard_split(dataset_size, num_shards, method="contiguous")
+        assert [s.tolist() for s in shards] == sharded_ids
+        true_set = set(true_ids)
+        for shard, (ref_feats, ref_true, ref_dsize, ref_ssize, _, _) in zip(
+            shards, sharded
+        ):
+            assert len(shard) == ref_dsize
+            # the runner's membership test == the reference's rebasing
+            got_true = [i for i, g in enumerate(shard) if g in true_set]
+            assert got_true == ref_true
+            assert len(got_true) == ref_ssize
+            assert [features["v"][g] for g in shard] == ref_feats["v"]
+
+
 # -- ResNet-50 backbone fidelity ----------------------------------------------
 
 class TestResNetFidelityParity:
