@@ -118,17 +118,41 @@ def iter_feature_rows(shard_paths: Sequence) -> Iterator[Dict]:
             yield row
 
 
-def buffered_shuffle(source: Iterable, bufsize: int, rng: random.Random):
-    """Reservoir-style shuffle (reference clustering/code/data/shuffle.py)."""
+def buffered_shuffle(source: Iterable, bufsize: int, rng: random.Random,
+                     initial: int = 100):
+    """Buffered stream shuffle — the EXACT webdataset algorithm the
+    reference vendors (clustering/code/data/shuffle.py:10-36,
+    oracle-tested trajectory-identical under a shared rng), including its
+    double-advance fill (each loop iteration also appends ``next(data)``
+    while the buffer is below ``bufsize``) and reduced-randomness startup
+    phase. Batch order feeds the k-means trajectory, so matching it
+    exactly matters for cross-implementation stage-5 reproduction.
+
+    One divergence: a buffer that is empty when the swap index is drawn
+    (single-sample stream) crashes upstream (``randint(0, -1)``); here it
+    yields the sample straight through."""
+    data = iter(source)
+    initial = min(initial, bufsize)
     buf: List = []
-    for item in source:
-        buf.append(item)
-        if len(buf) >= bufsize:
-            idx = rng.randrange(len(buf))
-            buf[idx], buf[-1] = buf[-1], buf[idx]
-            yield buf.pop()
-    rng.shuffle(buf)
-    yield from buf
+    startup = True
+    for sample in data:
+        if len(buf) < bufsize:
+            try:
+                buf.append(next(data))
+            except StopIteration:
+                pass
+        if not buf:  # degenerate single-sample stream (see docstring)
+            yield sample
+            continue
+        k = rng.randint(0, len(buf) - 1)
+        sample, buf[k] = buf[k], sample
+        if startup and len(buf) < initial:
+            buf.append(sample)
+            continue
+        startup = False
+        yield sample
+    for sample in buf:
+        yield sample
 
 
 def stack_batch(

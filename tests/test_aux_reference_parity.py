@@ -264,6 +264,33 @@ class TestTransformParity:
                     ))
 
 
+# -- stage-5 buffered shuffle -------------------------------------------------
+
+class TestBufferShuffleParity:
+    @pytest.mark.parametrize("n,bufsize,initial", [
+        (500, 64, 100), (500, 1000, 100), (50, 8, 4), (1000, 128, 128),
+        (3, 16, 100),
+    ])
+    def test_trajectory_identical(self, n, bufsize, initial):
+        """The reference vendors webdataset's buffered shuffle for the
+        stage-5 training stream; batch order feeds the k-means trajectory,
+        so buffered_shuffle reproduces it element-for-element under a
+        shared rng (same Random instance state on both sides)."""
+        from acav100m_tpu.pipeline.clustering import buffered_shuffle
+
+        smod = ro.import_stage("clustering", ["data.shuffle"])["data.shuffle"]
+
+        want = list(smod.shuffle_(
+            iter(range(n)), bufsize=bufsize, initial=initial,
+            rng=random.Random(7),
+        ))
+        got = list(buffered_shuffle(
+            range(n), bufsize, random.Random(7), initial=initial,
+        ))
+        assert got == want
+        assert sorted(got) == list(range(n))  # a permutation, nothing lost
+
+
 # -- stage-4 output schema ----------------------------------------------------
 
 class TestOutputSchemaParity:
