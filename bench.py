@@ -509,6 +509,10 @@ def main():
     e2e_batch = 64  # loader batch for the decode-inclusive path
     num_frames, size, audio_len = 32, 256, 160000
     smoke = bool(os.environ.get("ACAV_BENCH_SMOKE"))
+    # smoke is code-path validation, not measurement: 1 rep of 2 iters is
+    # enough to prove the leg runs (int8 convs on XLA:CPU are reference
+    # paths ~7x slower than bf16 — full reps cost ~10 min for no signal)
+    t_iters, t_reps = (10, 3) if not smoke else (2, 1)
     if smoke:  # code-path validation at toy shapes — NOT a measurement
         batch, e2e_batch = 8, 4
         num_frames, size, audio_len = 8, 64, 16000
@@ -532,7 +536,7 @@ def main():
     valid = jnp.full((batch,), audio_len, jnp.int32)
     _leg("extract timeit")
     t_extract = timeit(lambda: extract(params, frames, audio, valid),
-                       iters=10) / batch
+                       iters=t_iters, repeats=t_reps) / batch
 
     # MFU from XLA-counted flops (round-2 VERDICT weak #2: make MFU a
     # measured artifact, not a narrative claim)
@@ -572,7 +576,8 @@ def main():
         extract_q = make_extract_fn(models_q)
         _leg("int8 extract timeit")
         t_extract_int8 = timeit(
-            lambda: extract_q(params_q, frames, audio, valid), iters=10
+            lambda: extract_q(params_q, frames, audio, valid),
+            iters=t_iters, repeats=t_reps,
         ) / batch
     except Exception as e:  # pragma: no cover - depends on bench backend
         int8_error = f"{type(e).__name__}: {e}"
