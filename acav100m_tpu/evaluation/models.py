@@ -3,14 +3,23 @@
 Flax rebuild of the reference's PySlowFast-derived evaluation models:
 
 * ``VisualResNet3D`` — single-pathway 3D ResNet-50, width 64, temporal
-  kernels [5,1,1,3,3] (stem + s2..s5), spatial strides [1,2,2,2], global
-  avg pool -> 2048 (``evaluation/code/models/video_model_builder.py:30-265``);
+  kernels [5,1,1,3,3] (stem + s2..s5), stem stride (2,2,2) — the TEMPORAL
+  dim is halved in the stem (``stem_helper.py`` stride ``[[2,2,2]]`` at
+  ``video_model_builder.py:123-130``; the head pools ``NUM_FRAMES // 2``
+  frames, ``:233-243``) — stem maxpool (1,3,3)/(1,2,2), spatial stage
+  strides [1,2,2,2], global avg pool -> 2048
+  (``evaluation/code/models/video_model_builder.py:30-265``);
 * ``AudioResNet2D`` — 2D ResNet-50 on log-mel (freq 80 x time 128), width
-  32, strides [2,2,2,2] -> 1024
+  32: SEPARABLE stem ((9,1) conv + BN + ReLU then (1,9) conv + BN + ReLU,
+  stride 1, NO pool — ``audio_stem_helper.py:119-171``), stage strides
+  [2,2,2,2] with separable (3,1)+(1,3) "b" convs in s2/s3 and full (3,3)
+  in s4/s5 (``audio_model_builder.py:101-193`` ``separable=`` flags,
+  ``audio_resnet_helper.py:205-255``) -> 1024
   (``models/audio_model_builder.py:15-221``, config.py:220-241);
-* ``FFNLayer`` projection heads (in -> in -> 128, BN+ReLU,
-  ``models/utils.py:46-86``) and the symmetric InfoNCE ``contrast_loss``
-  with temperature 0.1 (``models/contrast.py:80-148``);
+* ``FFNLayer`` projection heads (in -> in -> 128, fc1 WITHOUT bias under
+  batch_norm, BN+ReLU, fc2 with bias, ``models/utils.py:46-86``) and the
+  symmetric InfoNCE ``contrast_loss`` with temperature 0.1
+  (``models/contrast.py:80-148``);
 * ``ClassifyHead`` — the linear-eval head over frozen backbone features
   (``models/classify.py:13-163``); multimodal = concat features.
 
@@ -37,6 +46,58 @@ VISUAL_TEMP_KERNELS = [5, 1, 1, 3, 3]
 STAGE_BLOCKS = [3, 4, 6, 3]
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact train-state semantics.
+
+    flax's ``nn.BatchNorm`` updates the running variance with the BIASED
+    batch variance; torch updates it with the UNBIASED one (``var * n /
+    (n - 1)``, torch ``_BatchNorm``) while still normalizing by the biased
+    variance.  Forward outputs are identical either way — this module exists
+    so the running ``batch_stats`` after a train step ALSO bit-match a torch
+    training run (checkpoint-level parity, pinned in
+    tests/test_eval_model_reference_parity.py).  Variable layout matches
+    ``nn.BatchNorm`` (params ``scale``/``bias``, batch_stats ``mean``/
+    ``var``) so ``convert_contrast_state_dict`` output is interchangeable.
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.9          # flax-style decay == 1 - torch momentum
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    scale_init: Any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        dtype = self.dtype or x.dtype
+        scale = self.param("scale", self.scale_init, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (feat,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (feat,))
+        sdtype = jnp.promote_types(dtype, jnp.float32)  # stats >= f32
+        if self.use_running_average:
+            mean = ra_mean.value.astype(sdtype)
+            var = ra_var.value.astype(sdtype)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            n = x.size // feat
+            xm = x.astype(sdtype)
+            mean = jnp.mean(xm, axis=axes)
+            var = jnp.mean(jnp.square(xm - mean), axis=axes)  # biased
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (m * ra_mean.value + (1 - m) * mean).astype(
+                    ra_mean.value.dtype)
+                ra_var.value = (m * ra_var.value + (1 - m) * unbiased).astype(
+                    ra_var.value.dtype)
+        y = (x.astype(sdtype) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(sdtype) + bias.astype(sdtype)
+        return y.astype(dtype)
+
+
 class Bottleneck3D(nn.Module):
     dim_out: int
     dim_inner: int
@@ -54,23 +115,23 @@ class Bottleneck3D(nn.Module):
         if dim_in != self.dim_out or s != 1:
             shortcut = nn.Conv(self.dim_out, (1, 1, 1), strides=(1, s, s),
                                use_bias=False, dtype=self.dtype, name="branch1")(x)
-            shortcut = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
+            shortcut = TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
                                     epsilon=1e-5, dtype=self.dtype,
                                     name="branch1_bn")(shortcut)
         kt = self.temp_kernel
         h = nn.Conv(self.dim_inner, (kt, 1, 1),
                     padding=((kt // 2, kt // 2), (0, 0), (0, 0)),
                     use_bias=False, dtype=self.dtype, name="a")(x)
-        h = nn.relu(nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
+        h = nn.relu(TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype, name="a_bn")(h))
         h = nn.Conv(self.dim_inner, (1, 3, 3), strides=(1, s, s),
                     padding=((0, 0), (1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="b")(h)
-        h = nn.relu(nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
+        h = nn.relu(TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype, name="b_bn")(h))
         h = nn.Conv(self.dim_out, (1, 1, 1), use_bias=False, dtype=self.dtype,
                     name="c")(h)
-        h = nn.BatchNorm(use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
+        h = TorchBatchNorm(use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
                          scale_init=nn.initializers.zeros, dtype=self.dtype,
                          name="c_bn")(h)
         return nn.relu(shortcut + h)
@@ -95,10 +156,10 @@ class VisualResNet3D(nn.Module):
     def __call__(self, x):
         use_ra = not self.train
         kt = VISUAL_TEMP_KERNELS[0]
-        x = nn.Conv(self.width, (kt, 7, 7), strides=(1, 2, 2),
+        x = nn.Conv(self.width, (kt, 7, 7), strides=(2, 2, 2),
                     padding=((kt // 2, kt // 2), (3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
+        x = nn.relu(TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  name="stem_bn")(x))
         x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
@@ -120,9 +181,17 @@ class VisualResNet3D(nn.Module):
 
 
 class Bottleneck2D(nn.Module):
+    """Audio bottleneck (audio_resnet_helper.py:139-291).
+
+    ``separable=True`` (stages s2/s3, audio_model_builder.py:134-157) splits
+    the 3x3 "b" conv into (3,1) freq + (1,3) time convs, EACH followed by
+    BN + ReLU (audio_resnet_helper.py:205-237, :276-283).
+    """
+
     dim_out: int
     dim_inner: int
     stride: int = 1
+    separable: bool = False
     train: bool = False
     dtype: Any = jnp.float32
 
@@ -135,20 +204,36 @@ class Bottleneck2D(nn.Module):
         if dim_in != self.dim_out or s != 1:
             shortcut = nn.Conv(self.dim_out, (1, 1), strides=(s, s),
                                use_bias=False, dtype=self.dtype, name="branch1")(x)
-            shortcut = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
+            shortcut = TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
                                     epsilon=1e-5, dtype=self.dtype,
                                     name="branch1_bn")(shortcut)
         h = nn.Conv(self.dim_inner, (1, 1), use_bias=False, dtype=self.dtype,
                     name="a")(x)
-        h = nn.relu(nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
+        h = nn.relu(TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype, name="a_bn")(h))
-        h = nn.Conv(self.dim_inner, (3, 3), strides=(s, s), padding="SAME",
-                    use_bias=False, dtype=self.dtype, name="b")(h)
-        h = nn.relu(nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.dtype, name="b_bn")(h))
+        if self.separable:
+            h = nn.Conv(self.dim_inner, (3, 1), strides=(s, 1),
+                        padding=((1, 1), (0, 0)), use_bias=False,
+                        dtype=self.dtype, name="b1")(h)
+            h = nn.relu(TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
+                                     epsilon=1e-5, dtype=self.dtype,
+                                     name="b1_bn")(h))
+            h = nn.Conv(self.dim_inner, (1, 3), strides=(1, s),
+                        padding=((0, 0), (1, 1)), use_bias=False,
+                        dtype=self.dtype, name="b2")(h)
+            h = nn.relu(TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
+                                     epsilon=1e-5, dtype=self.dtype,
+                                     name="b2_bn")(h))
+        else:
+            h = nn.Conv(self.dim_inner, (3, 3), strides=(s, s),
+                        padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype, name="b")(h)
+            h = nn.relu(TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
+                                     epsilon=1e-5, dtype=self.dtype,
+                                     name="b_bn")(h))
         h = nn.Conv(self.dim_out, (1, 1), use_bias=False, dtype=self.dtype,
                     name="c")(h)
-        h = nn.BatchNorm(use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
+        h = TorchBatchNorm(use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
                          scale_init=nn.initializers.zeros, dtype=self.dtype,
                          name="c_bn")(h)
         return nn.relu(shortcut + h)
@@ -169,12 +254,21 @@ class AudioResNet2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         use_ra = not self.train
-        x = nn.Conv(self.width, (9, 9), strides=(1, 1), padding="SAME",
-                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
+        # Separable stem: (9,1) freq conv then (1,9) time conv, BN+ReLU after
+        # each, stride (1,1), no pool (audio_stem_helper.py:119-171,
+        # audio_model_builder.py:101-108).
+        x = nn.Conv(self.width, (9, 1), strides=(1, 1),
+                    padding=((4, 4), (0, 0)), use_bias=False,
+                    dtype=self.dtype, name="stem_conv1")(x)
+        x = nn.relu(TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
-                                 name="stem_bn")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+                                 name="stem_bn1")(x))
+        x = nn.Conv(self.width, (1, 9), strides=(1, 1),
+                    padding=((0, 0), (4, 4)), use_bias=False,
+                    dtype=self.dtype, name="stem_conv2")(x)
+        x = nn.relu(TorchBatchNorm(use_running_average=use_ra, momentum=0.9,
+                                 epsilon=1e-5, dtype=self.dtype,
+                                 name="stem_bn2")(x))
         dims_out = [self.width * 4, self.width * 8, self.width * 16, self.width * 32]
         dims_inner = [self.width, self.width * 2, self.width * 4, self.width * 8]
         strides = [2, 2, 2, 2]  # AUDIO_RESNET.STRIDES (config.py:238)
@@ -183,6 +277,7 @@ class AudioResNet2D(nn.Module):
                 x = Bottleneck2D(
                     dim_out=dims_out[si], dim_inner=dims_inner[si],
                     stride=strides[si] if bi == 0 else 1,
+                    separable=si < 2,  # s2/s3 separable, s4/s5 full
                     train=self.train, dtype=self.dtype,
                     name=f"s{si + 2}_b{bi}",
                 )(x)
@@ -190,7 +285,11 @@ class AudioResNet2D(nn.Module):
 
 
 class FFNLayer(nn.Module):
-    """in -> hidden (BN+ReLU) -> out projection (models/utils.py:46-86)."""
+    """in -> hidden (BN+ReLU) -> out projection (models/utils.py:46-86).
+
+    fc1 carries NO bias (``bias=False if norm in ["layer_norm",
+    "batch_norm"]``, utils.py:59-63); fc2 has one.
+    """
 
     hidden: int
     out: int
@@ -199,8 +298,9 @@ class FFNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        h = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+        h = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype,
+                     name="fc1")(x)
+        h = TorchBatchNorm(use_running_average=not self.train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(h)
         h = nn.relu(h)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(h)
@@ -268,6 +368,119 @@ class ClassifyHead(nn.Module):
     def __call__(self, feats):
         h = nn.Dropout(rate=self.dropout_rate, deterministic=not self.train)(feats)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="proj")(h)
+
+
+def _conv_kernel(sd: Dict, key: str) -> np.ndarray:
+    """torch conv weight -> flax kernel. 3D: (O,I,kt,kh,kw) -> (kt,kh,kw,I,O);
+    2D: (O,I,kh,kw) -> (kh,kw,I,O)."""
+    w = np.asarray(sd[key])
+    if w.ndim == 5:
+        return w.transpose(2, 3, 4, 1, 0)
+    return w.transpose(2, 3, 1, 0)
+
+
+def _bn_entries(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    """torch BatchNorm{1,2,3}d state -> (flax params entry, batch_stats
+    entry)."""
+    return (
+        {"scale": np.asarray(sd[f"{prefix}.weight"]),
+         "bias": np.asarray(sd[f"{prefix}.bias"])},
+        {"mean": np.asarray(sd[f"{prefix}.running_mean"]),
+         "var": np.asarray(sd[f"{prefix}.running_var"])},
+    )
+
+
+def _convert_backbone(sd: Dict, prefix: str, visual: bool) -> Tuple[Dict, Dict]:
+    """One reference backbone state dict subtree -> flax (params, stats).
+
+    Torch module paths (video_model_builder.py / audio_model_builder.py):
+    ``s1.pathway0_stem.conv`` (visual) or ``s1.stem.conv{1,2}`` (audio
+    separable stem, audio_stem_helper.py:52-64), then
+    ``s{k}.pathway0_res{i}`` (visual) / ``s{k}.res{i}`` (audio) blocks with
+    ``branch1(+_bn)`` projection shortcuts and ``branch2.{a,b|b1,b2,c}(+_bn)``
+    transforms.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(mod: str, pentry: Dict, sentry: Optional[Dict] = None):
+        params[mod] = pentry
+        if sentry is not None:
+            stats[mod] = sentry
+
+    if visual:
+        put("stem_conv", {"kernel": _conv_kernel(sd, f"{prefix}.s1.pathway0_stem.conv.weight")})
+        p, s = _bn_entries(sd, f"{prefix}.s1.pathway0_stem.bn")
+        put("stem_bn", p, s)
+    else:
+        for j in (1, 2):
+            put(f"stem_conv{j}", {"kernel": _conv_kernel(
+                sd, f"{prefix}.s1.stem.conv{j}.weight")})
+            p, s = _bn_entries(sd, f"{prefix}.s1.stem.bn{j}")
+            put(f"stem_bn{j}", p, s)
+
+    for si in range(4):
+        for bi in range(STAGE_BLOCKS[si]):
+            tmod = (f"{prefix}.s{si + 2}.pathway0_res{bi}" if visual
+                    else f"{prefix}.s{si + 2}.res{bi}")
+            fmod = f"s{si + 2}_b{bi}"
+            bp: Dict = {}
+            bs: Dict = {}
+            if f"{tmod}.branch1.weight" in sd:
+                bp["branch1"] = {"kernel": _conv_kernel(sd, f"{tmod}.branch1.weight")}
+                bp["branch1_bn"], bs["branch1_bn"] = _bn_entries(sd, f"{tmod}.branch1_bn")
+            names = (("a", "b", "c") if (visual or si >= 2)
+                     else ("a", "b1", "b2", "c"))
+            for n in names:
+                bp[n] = {"kernel": _conv_kernel(sd, f"{tmod}.branch2.{n}.weight")}
+                bp[f"{n}_bn"], bs[f"{n}_bn"] = _bn_entries(sd, f"{tmod}.branch2.{n}_bn")
+            put(fmod, bp, bs)
+    return params, stats
+
+
+def _convert_ffn(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    """FFNLayer: fc1 (no bias) -> bn -> fc2 (models/utils.py:46-86)."""
+    params = {
+        "fc1": {"kernel": np.asarray(sd[f"{prefix}.fc1.weight"]).T},
+        "fc2": {"kernel": np.asarray(sd[f"{prefix}.fc2.weight"]).T,
+                "bias": np.asarray(sd[f"{prefix}.fc2.bias"])},
+    }
+    p, s = _bn_entries(sd, f"{prefix}.bn")
+    params["bn"] = p
+    return params, {"bn": s}
+
+
+def convert_contrast_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference ``Contrast`` torch state dict (numpy arrays) -> flax
+    variables {"params", "batch_stats"} for :class:`Contrast`.
+
+    Verified against the reference's own model code executed on CPU
+    (tests/test_eval_model_reference_parity.py): outputs match to f64
+    tolerance for the visual/audio backbones, projection heads, and the
+    InfoNCE loss (evaluation/code/models/contrast.py:10-201).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    for name, visual in (("visual_conv", True), ("audio_conv", False)):
+        p, s = _convert_backbone(sd, name, visual)
+        params[name] = p
+        stats[name] = s
+    for name in ("visual_mlp", "audio_mlp"):
+        p, s = _convert_ffn(sd, name)
+        params[name] = p
+        stats[name] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_classify_head_state_dict(sd: Dict[str, np.ndarray],
+                                     prefix: str = "head") -> Dict:
+    """Reference ``*ClassifyHead.projection`` Linear -> :class:`ClassifyHead`
+    params (models/classify.py:129-163, head projection Linear)."""
+    pre = f"{prefix}." if prefix else ""
+    return {"params": {"proj": {
+        "kernel": np.asarray(sd[f"{pre}projection.weight"]).T,
+        "bias": np.asarray(sd[f"{pre}projection.bias"]),
+    }}}
 
 
 def strip_heads(contrast_variables: Dict) -> Dict:

@@ -50,30 +50,167 @@ def lr_schedule(policy: str, base_lr: float, total_steps: int,
     policy's warmup ramps from 0 regardless of ``warmup_start_lr``
     (lr_policy.py:25-27 — only cosine honors it, :29-33), and CONSTANT
     ignores warmup entirely (:35-36)."""
-    decay_steps = max(total_steps - warmup_steps, 1)
-    if policy == "cosine":
-        decay = optax.cosine_decay_schedule(base_lr, decay_steps, alpha=end_lr / base_lr if base_lr else 0.0)
-    elif policy == "linear":
-        decay = optax.linear_schedule(base_lr, end_lr, decay_steps)
-        warmup_start_lr = 0.0
-    elif policy == "constant":
-        return optax.constant_schedule(base_lr)
-    else:
+    if policy not in ("cosine", "linear", "constant"):
         raise ValueError(f"unknown lr policy {policy!r}")
-    if warmup_steps > 0:
-        warmup = optax.linear_schedule(warmup_start_lr, base_lr, warmup_steps)
-        return optax.join_schedules([warmup, decay], [warmup_steps])
-    return decay
+    # Implemented directly (not via optax.cosine_decay_schedule /
+    # join_schedules) so the values match lr_policy.py to full precision in
+    # the ambient dtype — the optax built-ins round through f32 internally,
+    # which shows up as ~1e-9 lr deltas that break f64 trajectory parity.
+    decay_span = max(total_steps - warmup_steps, 1)
+
+    def schedule(count):
+        step = jnp.asarray(count).astype(jnp.result_type(float))
+        if policy == "constant":
+            return jnp.full_like(step, base_lr)
+        warm_frac = step / max(1, warmup_steps) if warmup_steps > 0 else step * 0.0
+        if policy == "linear":
+            # lr_func_linear (lr_policy.py:44-50): ramp from 0 (ignores
+            # warmup_start_lr — reference quirk), then linear decay to 0
+            # (end_lr generalizes the decay tail; default 0 == reference).
+            decay = jnp.maximum(0.0, (total_steps - step) / decay_span)
+            alpha = jnp.where(step < warmup_steps, warm_frac, decay)
+            return end_lr + (base_lr - end_lr) * alpha
+        # cosine (lr_policy.py:29-33, 53-63): warmup honors warmup_start_lr.
+        warm = warmup_start_lr + (base_lr - warmup_start_lr) * warm_frac
+        cosf = (jnp.cos(jnp.pi * (step - warmup_steps) / decay_span) + 1.0) * 0.5
+        cos_lr = (base_lr - end_lr) * cosf + end_lr
+        return jnp.where(step < warmup_steps, warm, cos_lr)
+
+    return schedule
 
 
-def build_optimizer(name: str, schedule, weight_decay: float = 1e-4,
-                    momentum: float = 0.9) -> optax.GradientTransformation:
+def _bn_param_mask(params, bn: bool):
+    """Bool pytree selecting parameters inside (``bn=True``) or outside
+    BatchNorm modules.
+
+    The reference splits weight decay by ``'bn' in name`` over torch
+    parameter names (models/optimizer.py:18-35: BN params get
+    ``BN.WEIGHT_DECAY`` = 0, the rest ``SOLVER.WEIGHT_DECAY``); the flax
+    module names carry the same ``*_bn`` components, so matching any path
+    component containing "bn" selects the identical split.
+    """
+    import jax.tree_util as jtu
+
+    def leaf(path, _):
+        has = any("bn" in str(getattr(k, "key", k)) for k in path)
+        return has if bn else not has
+
+    return jtu.tree_map_with_path(leaf, params)
+
+
+def scale_by_torch_adam(b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-6, amsgrad: bool = False
+                        ) -> optax.GradientTransformation:
+    """``torch.optim.Adam``'s moment math, exactly (trajectory-parity-tested
+    against the reference's own ``construct_optimizer`` in
+    tests/test_eval_optimizer_reference_parity.py):
+
+    ``mu <- b1 mu + (1-b1) g``, ``nu <- b2 nu + (1-b2) g^2``,
+    ``update = (mu / (1 - b1^t)) / (sqrt(nu_sel) / sqrt(1 - b2^t) + eps)``
+    where ``nu_sel`` is the running **uncorrected-moment max** when
+    ``amsgrad`` (torch keeps ``max_exp_avg_sq`` of the raw ``exp_avg_sq``,
+    unlike some amsgrad variants that max the corrected one).
+    """
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        state = {"mu": zeros, "nu": jax.tree.map(jnp.zeros_like, params),
+                 "count": jnp.zeros((), jnp.int32)}
+        if amsgrad:
+            state["nu_max"] = jax.tree.map(jnp.zeros_like, params)
+        return state
+
+    def update(updates, state, params=None):
+        del params
+        count = state["count"] + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state["mu"], updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state["nu"], updates)
+        bc1 = 1.0 - b1 ** count.astype(jnp.result_type(float))
+        bc2 = 1.0 - b2 ** count.astype(jnp.result_type(float))
+        new_state = {"mu": mu, "nu": nu, "count": count}
+        if amsgrad:
+            nu_sel = jax.tree.map(jnp.maximum, state["nu_max"], nu)
+            new_state["nu_max"] = nu_sel
+        else:
+            nu_sel = nu
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps),
+            mu, nu_sel)
+        return out, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
+def scale_by_torch_sgd(momentum: float = 0.9, dampening: float = 0.0,
+                       nesterov: bool = True) -> optax.GradientTransformation:
+    """``torch.optim.SGD``'s momentum buffer, exactly — including the
+    first-step quirk that the buffer is initialized to the RAW gradient
+    (``buf = g``, no ``(1 - dampening)`` factor; torch sgd.py) before the
+    ``buf <- momentum buf + (1-dampening) g`` recurrence; nesterov output
+    is ``g + momentum * buf``."""
+
+    def init(params):
+        return {"buf": jax.tree.map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        del params
+        first = state["count"] == 0
+        buf = jax.tree.map(
+            lambda b, g: jnp.where(
+                first, g, momentum * b + (1 - dampening) * g),
+            state["buf"], updates)
+        if nesterov:
+            out = jax.tree.map(lambda g, b: g + momentum * b, updates, buf)
+        else:
+            out = buf
+        return out, {"buf": buf, "count": state["count"] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(name: str, schedule, weight_decay: float = 1e-5,
+                    bn_weight_decay: float = 0.0, momentum: float = 0.9,
+                    dampening: float = 0.0, nesterov: bool = True,
+                    eps: float = 1e-6, amsgrad: bool = True
+                    ) -> optax.GradientTransformation:
+    """Reference-faithful optimizer stack (models/optimizer.py:10-72,
+    trajectory-parity-tested vs the torch optimizers it constructs):
+
+    * weight decay split by parameter group — BN params get
+      ``bn_weight_decay`` (BN.WEIGHT_DECAY, default 0), the rest
+      ``weight_decay`` (SOLVER.WEIGHT_DECAY, default 1e-5);
+    * sgd/adam apply COUPLED decay (torch adds ``wd * p`` to the gradient
+      before the moment update), adamw DECOUPLED (``p -= lr wd p``);
+    * adam/adamw use torch's ``eps = 1e-6`` placement and betas (0.9,
+      0.999); adamw defaults to ``amsgrad=True`` (SOLVER.USE_AMSGRAD);
+    * sgd is nesterov with dampening 0 (SOLVER.NESTEROV / DAMPENING).
+    """
+    rest = lambda p: _bn_param_mask(p, bn=False)  # noqa: E731
+    bn = lambda p: _bn_param_mask(p, bn=True)  # noqa: E731
+    coupled = [optax.add_decayed_weights(weight_decay, mask=rest),
+               optax.add_decayed_weights(bn_weight_decay, mask=bn)]
     if name == "adamw":
-        return optax.adamw(schedule, weight_decay=weight_decay)
+        return optax.chain(
+            scale_by_torch_adam(eps=eps, amsgrad=amsgrad),
+            *coupled,  # after the moment update = decoupled, scaled by lr
+            optax.scale_by_learning_rate(schedule),
+        )
     if name == "adam":
-        return optax.adam(schedule)
+        return optax.chain(
+            *coupled,
+            scale_by_torch_adam(eps=eps, amsgrad=False),
+            optax.scale_by_learning_rate(schedule),
+        )
     if name == "sgd":
-        return optax.sgd(schedule, momentum=momentum, nesterov=True)
+        return optax.chain(
+            *coupled,
+            scale_by_torch_sgd(momentum=momentum, dampening=dampening,
+                               nesterov=nesterov),
+            optax.scale_by_learning_rate(schedule),
+        )
     raise ValueError(f"unknown optimizer {name!r}")
 
 

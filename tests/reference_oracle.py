@@ -115,6 +115,101 @@ def install_shims():
     _SHIMS_INSTALLED = True
 
 
+def install_fvcore_shims():
+    """Idempotently provide the three fvcore surfaces the reference's
+    evaluation code imports (fvcore is absent in-image):
+
+    * ``fvcore.common.registry.Registry`` — name->class registry
+      (models/build.py:4);
+    * ``fvcore.nn.weight_init.c2_msra_fill`` — caffe2 MSRA conv init
+      (utils/weight_init_helper.py:4): kaiming-normal fan_out on weight,
+      zero bias;
+    * ``fvcore.common.timer.Timer`` — wall-clock timer (utils/meters.py).
+
+    Augments a partially-installed shim (an earlier test may have installed
+    only ``common.timer``).
+    """
+    try:
+        importlib.import_module("fvcore.common.registry")
+        return  # real fvcore present
+    except ImportError:
+        pass
+
+    import time
+
+    fv = sys.modules.get("fvcore") or types.ModuleType("fvcore")
+    common = sys.modules.get("fvcore.common") or types.ModuleType("fvcore.common")
+    if "fvcore.common.timer" not in sys.modules:
+        timer = types.ModuleType("fvcore.common.timer")
+
+        class Timer:
+            def __init__(self):
+                self.reset()
+
+            def reset(self):
+                self._start = time.perf_counter()
+                self._paused = None
+                self._total_paused = 0.0
+
+            def pause(self):
+                if self._paused is None:
+                    self._paused = time.perf_counter()
+
+            def seconds(self):
+                end = self._paused if self._paused is not None else time.perf_counter()
+                return end - self._start - self._total_paused
+
+        timer.Timer = Timer
+        sys.modules["fvcore.common.timer"] = timer
+        common.timer = timer
+
+    if "fvcore.common.registry" not in sys.modules:
+        registry = types.ModuleType("fvcore.common.registry")
+
+        class Registry:
+            def __init__(self, name):
+                self._name = name
+                self._obj_map = {}
+
+            def register(self, obj=None):
+                if obj is None:
+                    def deco(fn_or_class):
+                        self._obj_map[fn_or_class.__name__] = fn_or_class
+                        return fn_or_class
+                    return deco
+                self._obj_map[obj.__name__] = obj
+                return obj
+
+            def get(self, name):
+                return self._obj_map[name]
+
+        registry.Registry = Registry
+        sys.modules["fvcore.common.registry"] = registry
+        common.registry = registry
+
+    if "fvcore.nn" not in sys.modules:
+        import torch.nn
+
+        fvnn = types.ModuleType("fvcore.nn")
+        weight_init = types.ModuleType("fvcore.nn.weight_init")
+
+        def c2_msra_fill(module):
+            torch.nn.init.kaiming_normal_(
+                module.weight, mode="fan_out", nonlinearity="relu")
+            if module.bias is not None:
+                torch.nn.init.constant_(module.bias, 0.0)
+
+        weight_init.c2_msra_fill = c2_msra_fill
+        fvnn.weight_init = weight_init
+        sys.modules["fvcore.nn"] = fvnn
+        sys.modules["fvcore.nn.weight_init"] = weight_init
+        fv.nn = fvnn
+
+    fv.common = common
+    sys.modules.setdefault("fvcore", fv)
+    sys.modules.setdefault("fvcore.common", common)
+
+
 # -- isolated stage imports ---------------------------------------------------
 
 _STAGE_CACHE = {}
