@@ -12,17 +12,31 @@ feature matrices; the reference's spawn + diff_all_gather + manual gradient
 all-reduce (module.py:99-103) collapses into SPMD autodiff on a sharded
 batch. Post-sampling (sort / dedupe / cut, ``do_sample.py``) is plain
 numpy instead of coreutils subprocesses.
+
+The training trajectory replicates the reference's exactly
+(oracle-verified in ``tests/test_contrastive_reference_parity.py``):
+
+* torch-``AdamW`` math with ``amsgrad=True``, ``eps=1e-6``, betas
+  (0.9, 0.999) and torch's default decoupled ``weight_decay=0.01``
+  (``measures/contrastive/contrastive.py:27-35``);
+* the lr is set ONCE PER EPOCH from a linear warmup-decay over epochs,
+  ``lr_func_linear(epoch+1, num_epochs+1, warmup)`` (``:43-52``);
+* gradients are NEVER zeroed — ``train_batch`` runs ``loss.backward();
+  optimizer.step()`` with no ``zero_grad`` anywhere
+  (``measures/contrastive/contrastive.py:91-99``), so every step's
+  ``.grad`` is the running SUM of all gradients so far. ``train_probe``
+  reproduces this accumulation by default (``accumulate_grads=True``).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..utils.io import load_pickle, save_output_csv
 
@@ -58,14 +72,17 @@ def load_penultimate_features(shard_paths: Sequence) -> Tuple[np.ndarray, np.nda
 
 
 def init_probe(key, video_dim: int, audio_dim: int) -> Dict:
-    kv, ka = jax.random.split(key)
-    scale_v = 1.0 / np.sqrt(video_dim)
-    scale_a = 1.0 / np.sqrt(audio_dim)
+    """torch ``nn.Linear`` default init: weight and bias both uniform in
+    (-1/sqrt(fan_in), 1/sqrt(fan_in)) (kaiming_uniform with a=sqrt(5))."""
+    kv, kbv, ka, kba = jax.random.split(key, 4)
+    bound_v = 1.0 / np.sqrt(video_dim)
+    bound_a = 1.0 / np.sqrt(audio_dim)
+    uni = lambda k, shape, b: jax.random.uniform(k, shape, minval=-b, maxval=b)
     return {
-        "wv": jax.random.normal(kv, (video_dim, PROJECTION_SIZE)) * scale_v,
-        "bv": jnp.zeros((PROJECTION_SIZE,)),
-        "wa": jax.random.normal(ka, (audio_dim, PROJECTION_SIZE)) * scale_a,
-        "ba": jnp.zeros((PROJECTION_SIZE,)),
+        "wv": uni(kv, (video_dim, PROJECTION_SIZE), bound_v),
+        "bv": uni(kbv, (PROJECTION_SIZE,), bound_v),
+        "wa": uni(ka, (audio_dim, PROJECTION_SIZE), bound_a),
+        "ba": uni(kba, (PROJECTION_SIZE,), bound_a),
     }
 
 
@@ -77,13 +94,73 @@ def project(params: Dict, video: jnp.ndarray, audio: jnp.ndarray):
     return zv, za
 
 
+def _log_softmax_xent(logits, labels):
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+    return logz - picked
+
+
 def probe_loss(params, video, audio, temperature: float = TEMPERATURE):
+    """Reference loss: ``(sum_xent(ab) + sum_xent(ba)) / (2B)``
+    (module.py:54-74) — identical to the mean of the two directional means."""
     zv, za = project(params, video, audio)
     logits = zv @ za.T / temperature
     labels = jnp.arange(zv.shape[0])
-    loss_v = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
-    loss_a = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    loss_v = _log_softmax_xent(logits, labels).mean()
+    loss_a = _log_softmax_xent(logits.T, labels).mean()
     return (loss_v + loss_a) / 2
+
+
+def probe_accuracy(params, video, audio, temperature: float = TEMPERATURE):
+    """Reference acc: mean of both directions' top-1 rates x100
+    (module.py:76-86 via topks_correct)."""
+    zv, za = project(params, video, audio)
+    logits = zv @ za.T / temperature
+    labels = jnp.arange(zv.shape[0])
+    top1_v = (jnp.argmax(logits, axis=-1) == labels).sum()
+    top1_a = (jnp.argmax(logits.T, axis=-1) == labels).sum()
+    return (top1_v + top1_a) / (2 * zv.shape[0]) * 100.0
+
+
+def lr_func_linear(current_step: int, num_training_steps: int,
+                   num_warmup_steps: int = 3) -> float:
+    """Linear warmup-decay ramp over EPOCHS (contrastive.py:43-47)."""
+    if current_step < num_warmup_steps:
+        return float(current_step) / float(max(1, num_warmup_steps))
+    return max(0.0, float(num_training_steps - current_step)
+               / float(max(1, num_training_steps - num_warmup_steps)))
+
+
+def adamw_init(params: Dict) -> Dict:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return {"m": zeros, "v": zeros,
+            "vmax": jax.tree.map(jnp.zeros_like, params), "t": jnp.zeros(())}
+
+
+@partial(jax.jit, static_argnames=("b1", "b2", "eps", "weight_decay", "amsgrad"))
+def adamw_update(params: Dict, grads: Dict, state: Dict, lr,
+                 b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
+                 weight_decay: float = 0.01, amsgrad: bool = True):
+    """Exact ``torch.optim.AdamW`` update (decoupled decay applied to the
+    pre-step params, bias-corrected moments, amsgrad max on the RAW second
+    moment) with the reference probe's hyperparameters
+    (contrastive.py:27-35: betas (0.9, 0.999), eps 1e-6, amsgrad=True,
+    torch default weight_decay=0.01)."""
+    t = state["t"] + 1.0
+    bc1 = 1.0 - b1 ** t
+    bc2 = 1.0 - b2 ** t
+    m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
+    v = jax.tree.map(lambda v_, g: b2 * v_ + (1 - b2) * g * g, state["v"], grads)
+    vmax = jax.tree.map(jnp.maximum, state["vmax"], v) if amsgrad else v
+    vhat = vmax if amsgrad else v
+
+    def upd(p, m_, vh):
+        p = p * (1.0 - lr * weight_decay)
+        denom = jnp.sqrt(vh) / jnp.sqrt(bc2) + eps
+        return p - (lr / bc1) * m_ / denom
+
+    new_params = jax.tree.map(upd, params, m, vhat)
+    return new_params, {"m": m, "v": v, "vmax": vmax, "t": t}
 
 
 def train_probe(
@@ -94,41 +171,42 @@ def train_probe(
     base_lr: float = 2e-4,
     warmup_steps: int = 1,
     seed: int = 0,
+    params: Optional[Dict] = None,
+    accumulate_grads: bool = True,
 ) -> Dict:
-    """Defaults mirror subset_selection config ``contrastive``
-    (config.py:37-44)."""
+    """Train the probe on the reference's exact trajectory.
+
+    Defaults mirror subset_selection config ``contrastive``
+    (config.py:37-44). ``accumulate_grads=True`` is the reference's actual
+    (never-zeroed ``.grad``) semantics — see module docstring; pass False
+    for a conventional per-batch AdamW. ``params`` injects an initial state
+    (used by the parity oracle tests and ``copy_measure``-style resume).
+    Tail batches are included, like the reference DataLoader
+    (``feature_loaders/loader.py:33-38``, drop_last=False).
+    """
     v = video.shape[0]
     batch_size = min(batch_size, v)
-    steps_per_epoch = max(v // batch_size, 1)
-    total = num_epochs * steps_per_epoch
-    schedule = optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, base_lr, max(warmup_steps, 1)),
-            optax.linear_schedule(base_lr, 0.0, max(total - warmup_steps, 1)),
-        ],
-        [max(warmup_steps, 1)],
-    )
-    optimizer = optax.adamw(schedule)
-    params = init_probe(jax.random.PRNGKey(seed), video.shape[1], audio.shape[1])
-    opt_state = optimizer.init(params)
+    if params is None:
+        params = init_probe(jax.random.PRNGKey(seed), video.shape[1], audio.shape[1])
+    state = adamw_init(params)
+    g_accum = jax.tree.map(jnp.zeros_like, params)
 
-    @jax.jit
-    def step(params, opt_state, vb, ab):
-        loss, grads = jax.value_and_grad(probe_loss)(params, vb, ab)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    grad_fn = jax.jit(jax.grad(probe_loss))
 
     rng = np.random.RandomState(seed)
     video_d = jnp.asarray(video)
     audio_d = jnp.asarray(audio)
     for epoch in range(num_epochs):
+        lr = lr_func_linear(epoch + 1, num_epochs + 1, warmup_steps) * base_lr
         order = rng.permutation(v)
-        for i in range(0, v - batch_size + 1, batch_size):
+        for i in range(0, v, batch_size):
             idx = jnp.asarray(order[i : i + batch_size])
-            params, opt_state, loss = step(
-                params, opt_state, jnp.take(video_d, idx, axis=0),
-                jnp.take(audio_d, idx, axis=0),
-            )
+            grads = grad_fn(params, jnp.take(video_d, idx, axis=0),
+                            jnp.take(audio_d, idx, axis=0))
+            if accumulate_grads:
+                g_accum = jax.tree.map(jnp.add, g_accum, grads)
+                grads = g_accum
+            params, state = adamw_update(params, grads, state, lr)
     return params
 
 

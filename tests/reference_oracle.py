@@ -112,6 +112,14 @@ def install_shims():
             wget = types.ModuleType("wget")
             wget.download = None
             sys.modules["wget"] = wget
+    if "webdataset" not in sys.modules:
+        try:
+            importlib.import_module("webdataset")
+        except ImportError:
+            # imported at module scope by subset_selection
+            # feature_loaders/loader.py:8; only touched at dataloader build
+            # time, which the oracle tests never reach.
+            sys.modules["webdataset"] = types.ModuleType("webdataset")
     _SHIMS_INSTALLED = True
 
 
