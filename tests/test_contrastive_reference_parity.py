@@ -54,8 +54,14 @@ def make_torch_probe(video_dim, audio_dim, out_size, seed=0):
 
 
 def params_from_torch(model):
-    """torch Linear weight is (out, in); the repo probe uses (in, out)."""
-    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    """torch Linear weight is (out, in); the repo probe uses (in, out).
+
+    ``np.array`` (copy) is load-bearing: ``detach().numpy()`` VIEWS the
+    live torch parameters, and on the CPU backend ``jnp.asarray``
+    zero-copy-aliases contiguous f64 numpy buffers — an un-copied
+    snapshot silently mutates as the torch model keeps training.
+    """
+    sd = {k: np.array(v.detach().numpy()) for k, v in model.state_dict().items()}
     return {
         "wv": jnp.asarray(sd["visual_linear.weight"].T),
         "bv": jnp.asarray(sd["visual_linear.bias"]),
