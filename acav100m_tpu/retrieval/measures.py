@@ -37,37 +37,34 @@ class SklearnMIMeasure(OracleMeasure):
         self.kind = kind
         self.average_method = average_method
 
-    def score(self, indices: Sequence[int]) -> float:
-        from sklearn.metrics import (
-            adjusted_mutual_info_score,
-            mutual_info_score,
-            normalized_mutual_info_score,
-        )
+    def _pair_score(self, x, y) -> float:
+        """One sklearn score — the reference's MEASURES table
+        (mutual_information.py:11-17): mutual_info / adjusted_mutual_info /
+        normalized_mutual_info / fowlkes_mallows / adjusted_rand."""
+        from sklearn import metrics
 
+        if self.kind == "mi":
+            return metrics.mutual_info_score(x, y)
+        if self.kind == "nmi":
+            return metrics.normalized_mutual_info_score(
+                x, y, average_method=self.average_method)
+        if self.kind == "ami":
+            return metrics.adjusted_mutual_info_score(
+                x, y, average_method=self.average_method)
+        if self.kind == "fm":
+            return metrics.fowlkes_mallows_score(x, y)
+        if self.kind == "arand":
+            return metrics.adjusted_rand_score(x, y)
+        raise ValueError(self.kind)
+
+    def score(self, indices: Sequence[int]) -> float:
         idx = list(indices)
         if len(idx) < 2:
             return 0.0
         sub = self.assignments[idx]
-        scores = []
-        for a, b in self.pairs:
-            x, y = sub[:, a], sub[:, b]
-            if self.kind == "mi":
-                scores.append(mutual_info_score(x, y))
-            elif self.kind == "nmi":
-                scores.append(
-                    normalized_mutual_info_score(
-                        x, y, average_method=self.average_method
-                    )
-                )
-            elif self.kind == "ami":
-                scores.append(
-                    adjusted_mutual_info_score(
-                        x, y, average_method=self.average_method
-                    )
-                )
-            else:
-                raise ValueError(self.kind)
-        return float(np.mean(scores))
+        return float(np.mean(
+            [self._pair_score(sub[:, a], sub[:, b]) for a, b in self.pairs]
+        ))
 
 
 class AgreementMeasure(OracleMeasure):
@@ -109,7 +106,7 @@ class ConstantMeasure(OracleMeasure):
 
 
 def get_oracle_measure(name: str, assignments, pairs) -> OracleMeasure:
-    if name in ("mi", "nmi", "ami"):
+    if name in ("mi", "nmi", "ami", "fm", "arand"):
         return SklearnMIMeasure(assignments, pairs, kind=name)
     if name == "agreement":
         return AgreementMeasure(assignments, pairs)
