@@ -168,12 +168,16 @@ class TestBackboneParity:
 
         _, _, model, sd = ref_contrast
         vt, _, v_ndhwc, _ = inputs
+        # train-mode BN mutates running buffers IN PLACE even under no_grad;
+        # restore them or later eval-mode tests compare a drifted reference.
+        saved = {k: v.clone() for k, v in model.state_dict().items()}
         model.train()
         try:
             with torch.no_grad():
                 ref_out = model.visual_conv([vt.clone()]).numpy()
         finally:
             model.eval()
+            model.load_state_dict(saved)
         with jax.enable_x64(True):
             variables = to_f64(em.convert_contrast_state_dict(sd))
             ours, _ = em.VisualResNet3D(train=True, dtype=jnp.float64).apply(
@@ -217,12 +221,14 @@ class TestContrastParity:
 
         _, _, model, sd = ref_contrast
         vt, at, v_ndhwc, a_nhwc = inputs
+        saved = {k: v.clone() for k, v in model.state_dict().items()}
         model.train()
         try:
             with torch.no_grad():
                 ref_loss, ref_acc = model([vt.clone()], at.clone())
         finally:
             model.eval()
+            model.load_state_dict(saved)
         with jax.enable_x64(True):
             variables = to_f64(em.convert_contrast_state_dict(sd))
             (zv, za), _ = em.Contrast(train=True, dtype=jnp.float64).apply(
