@@ -27,6 +27,20 @@ def iter_video_ids(tsv_path) -> Iterator[Tuple[str, str]]:
             yield url, vid
 
 
+def load_urls(tsv_path) -> "dict[str, str]":
+    """{vid: url} with the reference's exact semantics (run.py:16-23):
+    first tab field is the url, vid is its last 11 characters (the YouTube
+    watch id), and the dict keying dedupes repeated ids — each vid is
+    attempted at most once per run."""
+    urls: "dict[str, str]" = {}
+    with open(tsv_path) as f:
+        for line in f:
+            url = line.split("\t")[0]
+            if url:
+                urls[url[-11:]] = url
+    return urls
+
+
 def find_downloader() -> Optional[List[str]]:
     for cand in ("yt-dlp", "youtube-dl"):
         exe = shutil.which(cand)
@@ -49,19 +63,35 @@ def download_one(url: str, out_path: Path, downloader: List[str]) -> bool:
         return False
 
 
-def run_download(tsv_path, out_dir, source_dir=None) -> Tuple[int, int]:
+def run_download(tsv_path, out_dir, source_dir=None,
+                 fetch_fn=None) -> Tuple[int, int]:
     """Download every row's video to ``out_dir``; skip existing, swallow
-    errors (reference run.py:26-41). ``source_dir`` enables the offline
-    copy backend. Returns (ok, total)."""
+    errors, one attempt per vid (reference run.py:26-41 iterates a
+    vid-keyed dict, so duplicate rows collapse — replicated here, verified
+    against the reference's own run.py in
+    tests/test_video_download_reference_parity.py). ``source_dir`` enables
+    the offline copy backend; ``fetch_fn(url, out_path) -> bool`` injects a
+    fetch backend (tests). Returns (ok, total distinct vids)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    downloader = find_downloader()
+    downloader = None if fetch_fn is not None else find_downloader()
+    seen = set()
     ok = total = 0
     for url, vid in iter_video_ids(tsv_path):
+        if vid in seen:
+            continue
+        seen.add(vid)
         total += 1
         out_path = out_dir / f"{vid}.mp4"
         if out_path.is_file():
             ok += 1
+            continue
+        if fetch_fn is not None:
+            try:
+                if fetch_fn(url, out_path) and out_path.is_file():
+                    ok += 1
+            except Exception:
+                pass  # swallow download errors (run.py:36-37)
             continue
         if source_dir is not None:
             src = Path(source_dir) / f"{vid}.mp4"
