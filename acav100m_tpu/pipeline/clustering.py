@@ -251,7 +251,12 @@ def train_clusters(cfg, mesh=None):
             state, types, dims = load_centroids(found)
             if not cfg.clustering.resume_training:
                 return state, types, dims
-            pre_epochs = cached_epoch + 1
+            # reference semantics (run_clustering.py:142-144): resume AT the
+            # cached epoch — the reference re-trains epoch `cached_epoch`
+            # starting from the state saved after it (and re-saves its
+            # cache); driver-parity-tested in
+            # tests/test_stage5_driver_reference_parity.py
+            pre_epochs = cached_epoch
     if state is None:
         state = kmeans.init_state(
             jax.random.PRNGKey(cfg.computation.random_seed or 0),

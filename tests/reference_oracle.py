@@ -78,6 +78,71 @@ def _make_braceexpand_shim():
     return mod
 
 
+def _make_webdataset_shim():
+    """The two webdataset surfaces the stage-5 driver touches.
+
+    ``ResizedDataset`` is a faithful reimplementation of the version the
+    reference itself vendors (``evaluation/code/dataset.py:343-385``):
+    fixed per-epoch ``length`` over a PERSISTENT underlying iterator —
+    epoch N+1 continues where epoch N stopped and wraps on StopIteration.
+    ``MultiDataset`` is only ever isinstance-checked; ``Dataset`` is only
+    subclassed (stage-4 MetaWebDataset)."""
+    import warnings as _warnings
+
+    try:
+        from torch.utils.data import IterableDataset
+    except Exception:  # pragma: no cover - torch is in the image
+        IterableDataset = object
+
+    mod = types.ModuleType("webdataset")
+
+    class Dataset:
+        pass
+
+    class MultiDataset:
+        pass
+
+    class ResizedDataset(IterableDataset):
+        def __init__(self, dataset, length=None, nominal=None):
+            super().__init__()
+            self.dataset = dataset
+            if length is None:
+                length = len(dataset)
+            self.length = length
+            self.nominal = self.length if nominal is None else nominal
+            self.source = None
+
+        def __len__(self):
+            return self.nominal
+
+        def __getstate__(self):
+            result = dict(self.__dict__)
+            result["source"] = None
+            return result
+
+        def __iter__(self):
+            if self.source is None:
+                self.source = iter(self.dataset)
+            for _ in range(self.length):
+                try:
+                    sample = next(self.source)
+                except StopIteration:
+                    self.source = iter(self.dataset)
+                    sample = next(self.source)
+                yield sample
+
+    def warn_and_continue(exn):
+        _warnings.warn(repr(exn))
+        return True
+
+    mod.Dataset = Dataset
+    mod.MultiDataset = MultiDataset
+    mod.ResizedDataset = ResizedDataset
+    mod.ChoppedDataset = ResizedDataset
+    mod.warn_and_continue = warn_and_continue
+    return mod
+
+
 _SHIMS_INSTALLED = False
 
 
@@ -112,14 +177,32 @@ def install_shims():
             wget = types.ModuleType("wget")
             wget.download = None
             sys.modules["wget"] = wget
+    if "inflection" not in sys.modules:
+        try:
+            importlib.import_module("inflection")
+        except ImportError:
+            # models/__init__.py:9 uses only `underscore` (CamelCase ->
+            # snake_case: LayerSlowFast -> layer_slow_fast)
+            import re
+
+            mod = types.ModuleType("inflection")
+
+            def underscore(word):
+                word = re.sub(r"([A-Z]+)([A-Z][a-z])", r"\1_\2", word)
+                word = re.sub(r"([a-z\d])([A-Z])", r"\1_\2", word)
+                return word.replace("-", "_").lower()
+
+            mod.underscore = underscore
+            sys.modules["inflection"] = mod
     if "webdataset" not in sys.modules:
         try:
             importlib.import_module("webdataset")
         except ImportError:
-            # imported at module scope by subset_selection
-            # feature_loaders/loader.py:8; only touched at dataloader build
-            # time, which the oracle tests never reach.
-            sys.modules["webdataset"] = types.ModuleType("webdataset")
+            # subset_selection only imports it (feature_loaders/loader.py:8);
+            # the stage-5 driver actually USES ResizedDataset and
+            # isinstance-checks MultiDataset (run_clustering.py:155,
+            # data/clustering.py:61) — provide functional stand-ins.
+            sys.modules["webdataset"] = _make_webdataset_shim()
     _SHIMS_INSTALLED = True
 
 
@@ -277,6 +360,56 @@ def import_stage(stage: str, module_names):
     return out
 
 
+@contextlib.contextmanager
+def stage_context(stage: str):
+    """Re-expose a stage's imported module graph (sys.modules + sys.path)
+    for the duration of a call.  ``import_stage`` evicts stage modules after
+    importing them; code that resolves imports AT CALL TIME — ``torch.load``
+    unpickling a ``sgd_clustering.KMeans``, late ``importlib`` calls —
+    needs them back while it runs."""
+    install_shims()
+    code_dir = REFERENCE / stage / "code"
+    stage_mods = _STAGE_SYSMODULES.setdefault(stage, {})
+    snapshot = set(sys.modules)
+    sys.modules.update(stage_mods)
+    sys.path.insert(0, str(code_dir))
+    try:
+        yield
+    finally:
+        sys.path.remove(str(code_dir))
+        for name in (set(sys.modules) - snapshot) | set(stage_mods):
+            mod = sys.modules.get(name)
+            if mod is None:
+                continue
+            path = getattr(mod, "__file__", None) or ""
+            ns_paths = " ".join(str(p) for p in getattr(mod, "__path__", ()) or ())
+            if (str(code_dir) in str(path) or str(code_dir) in ns_paths
+                    or name in stage_mods or name in ("measures",)):
+                stage_mods[name] = mod
+                del sys.modules[name]
+
+
+@contextlib.contextmanager
+def torch_load_legacy():
+    """torch >= 2.6 flipped ``torch.load``'s default to ``weights_only=True``;
+    the reference predates that and pickles whole ``KMeans`` objects in its
+    epoch caches (``run_clustering.py:110-117``). Restore the legacy default
+    for the duration."""
+    import torch
+
+    orig = torch.load
+
+    def load(*args, **kwargs):
+        kwargs.setdefault("weights_only", False)
+        return orig(*args, **kwargs)
+
+    torch.load = load
+    try:
+        yield
+    finally:
+        torch.load = orig
+
+
 def subset_selection_modules(names=("measures", "pairing", "run_greedy")):
     return import_stage("subset_selection", names)
 
@@ -332,10 +465,24 @@ def f64_measures(mi_module):
 
 class NS(types.SimpleNamespace):
     """Tiny recursive namespace standing in for the reference's
-    ``DefaultMunch`` args bags (missing keys -> None)."""
+    ``DefaultMunch`` args bags (missing keys -> None; Munch is a dict
+    subclass, so `in` / [] work on keys — models/__init__.py:55-60)."""
 
     def __getattr__(self, name):  # only called when attribute is absent
+        if name.startswith("__") and name.endswith("__"):
+            # pickle probes __setstate__/__reduce_ex__ etc. and would try
+            # to CALL a None — keep protocol lookups honest
+            raise AttributeError(name)
         return None
+
+    def __contains__(self, name):
+        return name in self.__dict__
+
+    def __getitem__(self, name):
+        return self.__dict__[name]
+
+    def __setitem__(self, name, value):
+        self.__dict__[name] = value
 
     @classmethod
     def make(cls, dt):
@@ -379,6 +526,40 @@ def make_selection_args(**overrides):
 
 def make_kmeans_args(device="cpu", num_gpus=1):
     return NS.make({"computation": {"device": device, "num_gpus": num_gpus}})
+
+
+def make_clustering_args(data_dir, out_dir, spec_name, batch_size=4,
+                         ncentroids=4, epochs=2, cached_epoch=None,
+                         resume_training=None,
+                         models=("layer_slow_fast", "layer_vggish")):
+    """args bag consumed by ``clustering/code/run_clustering.py`` driving
+    the FULL stage-5 driver on CPU (reference ``clustering/code/config.py``
+    defaults, shrunk to test scale). ``data.media.path`` carries the shard
+    spec with suffix (get_shards_path strips/replaces it, shards.py:15-19);
+    ``data.path``'s basename names the epoch caches (utils.py:30-32)."""
+    spec = Path(data_dir) / spec_name
+    args = NS.make({
+        "models": list(models),
+        "model_types": {"audio": ["vggish", "layer_vggish"]},
+        "computation": {"device": "cpu", "num_gpus": 1, "num_workers": 0,
+                        "discard_shards": False},
+        "data": {
+            "path": str(spec),
+            "media": {"path": None},  # Path set below (NS.make recurses dicts)
+            "meta": {"path": None},
+            "batch_size": batch_size,
+            "output": {"path": Path(out_dir), "shard_ok_ratio": 0.99},
+        },
+        "clustering": {"ncentroids": ncentroids, "epochs": epochs,
+                       "cached_epoch": cached_epoch,
+                       "resume_training": resume_training,
+                       "load_cache_from_shard_subset": False,
+                       "save_scheme_ver2": None},
+        "debug": False,
+    })
+    args.data.media.path = spec  # a real Path (stem/parent are used)
+    args.data.types = {}  # a real dict (`in` + subscript, utils.py:19-21)
+    return args
 
 
 @contextlib.contextmanager
