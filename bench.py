@@ -23,10 +23,28 @@ reference's decode-bound pipeline x the driver's 5x north-star target
 estimate, labeled as such in the detail.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+
+Artifact survivability (round-3 VERDICT missing #1): the driver runs this
+under a hard timeout; round 3's run was killed before the JSON printed.
+This round the bench defends its own artifact:
+
+* a wall-clock self-budget (env ``ACAV_BENCH_BUDGET_S``, default 1200 s)
+  is checked BETWEEN legs — headline legs (extract+MFU, kmeans, select,
+  parity-select) always run; optional legs (mp4, e2e, pretrain, int8) are
+  auto-skipped with a ``legs_skipped`` record when the remaining budget
+  is smaller than their cost estimate;
+* SIGTERM/SIGALRM/SIGINT handlers ALWAYS emit the one-line JSON with
+  whatever legs completed (per-leg results accumulate in ``BenchState``
+  as they finish, so the handler has them); a ``signal.alarm`` at the
+  budget backstops a leg that overruns its estimate;
+* the payload records ``status`` (complete/partial), ``legs_done``,
+  ``legs_skipped`` and the budget, so a partial artifact is legible.
 """
 
 import json
 import os
+import signal
+import sys
 import tempfile
 import time
 from pathlib import Path
@@ -474,19 +492,141 @@ def _enable_compile_cache():
         pass  # older jax or read-only checkout: compile as usual
 
 
-_T0 = time.perf_counter()
+DEFAULT_BUDGET_S = 1200.0
+
+# per-leg wall-clock cost estimates (seconds), taken from the round-3
+# driver tail (BENCH_r03.json: extract-to-first-timing 732 s incl. compile,
+# cost_analysis 152 s, int8 353 s, kmeans 54 s, select 41 s, parity 10 s,
+# e2e 184 s, mp4 48 s; pretrain was killed ~1599 s in). Estimates are
+# deliberately pessimistic — a skipped optional leg costs a metric, an
+# overrun costs the whole artifact.
+LEG_EST_S = {
+    "mp4_decode": 90.0,
+    "e2e": 260.0,
+    "pretrain": 420.0,
+    "int8_extract": 420.0,
+    "scale_select": 180.0,
+    "per_stage": 600.0,
+}
+LEG_EST_SMOKE_S = {k: 60.0 for k in LEG_EST_S}
 
 
-def _leg(label):
-    """Stderr progress line per bench leg (wall since start) — makes the
-    ~25-min tunneled run's time budget visible and diagnosable."""
-    import sys
+class BenchState:
+    """Per-leg result accumulator + wall-clock budget + single-shot emit.
 
-    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {label}",
-          file=sys.stderr, flush=True)
+    Results land in ``detail`` AS EACH LEG FINISHES so a signal handler can
+    emit a valid partial artifact at any time (round-3 VERDICT weak #1:
+    the bench must defend its own artifact). ``now`` is injectable for
+    tests."""
+
+    def __init__(self, budget_s=None, now=time.perf_counter, smoke=False):
+        self.now = now
+        self.t0 = now()
+        if budget_s is None:
+            budget_s = float(
+                os.environ.get("ACAV_BENCH_BUDGET_S", DEFAULT_BUDGET_S))
+        self.budget_s = budget_s
+        self.smoke = smoke
+        self.detail = {}
+        self.headline = {}  # t_extract / t_cluster / t_select (s per clip)
+        self.legs_done = []
+        self.legs_skipped = []
+        self.emitted = False
+
+    def elapsed(self):
+        return self.now() - self.t0
+
+    def remaining(self):
+        return self.budget_s - self.elapsed()
+
+    def log(self, label):
+        """Stderr progress line per bench leg (wall since start) — makes
+        the ~25-min tunneled run's time budget visible and diagnosable."""
+        print(f"[bench +{self.elapsed():7.1f}s] {label}",
+              file=sys.stderr, flush=True)
+
+    def run_leg(self, name, fn, required=False):
+        """Run one leg; optional legs are skipped when the remaining
+        budget is below their cost estimate. Leg exceptions are recorded,
+        never fatal (a failed optional leg must not sink the artifact)."""
+        est = (LEG_EST_SMOKE_S if self.smoke else LEG_EST_S).get(name, 0.0)
+        if not required and self.remaining() < est:
+            self.legs_skipped.append(name)
+            self.log(f"SKIP {name} (est {est:.0f}s > "
+                     f"remaining {self.remaining():.0f}s)")
+            return None
+        self.log(name)
+        try:
+            out = fn()
+        except Exception as e:  # pragma: no cover - backend-dependent
+            self.detail[f"{name}_error"] = f"{type(e).__name__}: {e}"
+            self.log(f"FAIL {name}: {type(e).__name__}: {e}")
+            return None
+        self.legs_done.append(name)
+        return out
+
+    def payload(self, status="complete"):
+        """Assemble the one-line JSON from whatever legs completed."""
+        h = self.headline
+        if {"t_extract", "t_cluster", "t_select"} <= set(h):
+            t_clip = h["t_extract"] + h["t_cluster"] + h["t_select"]
+            value = 1.0 / t_clip
+            metric = "curation clips/sec/chip (extract+cluster+select)"
+        elif "t_extract" in h:
+            value = 1.0 / h["t_extract"]
+            metric = "extract clips/sec/chip (PARTIAL bench: cluster/select legs missing)"
+        else:
+            value = 0.0
+            metric = "bench incomplete (no extract timing captured)"
+        return {
+            "metric": metric,
+            "value": round(value, 3),
+            "unit": "clips/sec/chip",
+            "vs_baseline": round(value / BASELINE_VALUE, 3),
+            "detail": {
+                "status": status,
+                "budget_s": self.budget_s,
+                "elapsed_s": round(self.elapsed(), 1),
+                "legs_done": list(self.legs_done),
+                "legs_skipped": list(self.legs_skipped),
+                **self.detail,
+            },
+        }
+
+    def emit(self, status="complete"):
+        if self.emitted:
+            return
+        self.emitted = True
+        print(json.dumps(self.payload(status)), flush=True)
+
+    def install_signal_emitters(self):
+        """SIGTERM (driver timeout), SIGALRM (own budget backstop) and
+        SIGINT all flush the partial artifact and exit 0. NB: Python
+        delivers signals between bytecodes, so a handler fires only when
+        a long native call (an XLA compile) returns — the alarm is set at
+        the self-budget, below the driver's kill timeout, to leave that
+        headroom."""
+
+        def handler(signum, frame):  # pragma: no cover - signal path
+            try:
+                name = signal.Signals(signum).name
+            except ValueError:
+                name = str(signum)
+            self.detail.setdefault("interrupted_by", name)
+            self.detail["interrupted_at_s"] = round(self.elapsed(), 1)
+            self.emit(status="partial")
+            os._exit(0)
+
+        for sig in (signal.SIGTERM, signal.SIGALRM, signal.SIGINT):
+            signal.signal(sig, handler)
+        signal.alarm(max(1, int(self.budget_s)))
 
 
 def main():
+    smoke = bool(os.environ.get("ACAV_BENCH_SMOKE"))
+    st = BenchState(smoke=smoke)
+    st.install_signal_emitters()
+
     import jax
     import jax.numpy as jnp
 
@@ -500,15 +640,12 @@ def main():
         make_extract_fn,
     )
 
-    import os
-
     rng = np.random.RandomState(0)
     # measured on v5e (blocked-T, bf16): 2.59 ms/clip @64, 2.10 @128,
     # 2.02 @256, 2.03 @384 -> 256 saturates
     batch = 256
     e2e_batch = 64  # loader batch for the decode-inclusive path
     num_frames, size, audio_len = 32, 256, 160000
-    smoke = bool(os.environ.get("ACAV_BENCH_SMOKE"))
     # smoke is code-path validation, not measurement: 1 rep of 2 iters is
     # enough to prove the leg runs (int8 convs on XLA:CPU are reference
     # paths ~7x slower than bf16 — full reps cost ~10 min for no signal)
@@ -516,52 +653,230 @@ def main():
     if smoke:  # code-path validation at toy shapes — NOT a measurement
         batch, e2e_batch = 8, 4
         num_frames, size, audio_len = 8, 64, 16000
+    st.detail.update({
+        "extract_batch": batch,
+        "extract_dtype": "bfloat16",
+        "baseline_anchor": (
+            "estimated 16 clips/sec/GPU x 5x target (reference publishes "
+            "no throughput numbers)"
+        ),
+        **({"smoke": True} if smoke else {}),
+    })
 
-    # -- stage 4: fused SlowFast+VGGish extraction ---------------------------
-    # bf16 conv stacks: the production extraction config (features are cast
-    # back to fp32 on save; parity runs can set computation.dtype=float32)
-    # bf16 conv stacks + blocked-T fast pathway (bit-identical rewrite,
-    # measured 3.12 -> 2.52 ms/clip on v5e; models/slowfast.py)
+    # -- headline legs (required: always run, never budget-skipped) ----------
+
+    # stage 4: fused SlowFast+VGGish extraction. bf16 conv stacks +
+    # blocked-T fast pathway (bit-identical rewrite, measured 3.12 -> 2.52
+    # ms/clip on v5e; models/slowfast.py). Features are cast back to fp32
+    # on save; parity runs set computation.dtype=float32.
     cfg = get_config({
         "computation.dtype": "bfloat16",
         "computation.fast_block": [4, 4, 4, 4, 4],
     })
-    _leg("build_models")
-    models, params = build_models(cfg, key=jax.random.PRNGKey(0))
+
+    def leg_build():
+        return build_models(cfg, key=jax.random.PRNGKey(0))
+
+    built = st.run_leg("build_models", leg_build, required=True)
+    if built is None:  # nothing downstream can run — emit what we have
+        st.emit(status="partial")
+        return
+    models, params = built
     extract = make_extract_fn(models)
     frames = jnp.asarray(
         rng.randint(0, 255, (batch, num_frames, size, size, 3)), jnp.uint8
     )
     audio = jnp.asarray(rng.randn(batch, audio_len), jnp.float32)
     valid = jnp.full((batch,), audio_len, jnp.int32)
-    _leg("extract timeit")
-    t_extract = timeit(lambda: extract(params, frames, audio, valid),
-                       iters=t_iters, repeats=t_reps) / batch
 
-    # MFU from XLA-counted flops (round-2 VERDICT weak #2: make MFU a
-    # measured artifact, not a narrative claim)
-    # `extract` is already jitted — lower/compile hits the executable cache
-    _leg("extract cost_analysis")
-    extract_flops, extract_bytes = _cost_analysis(
-        extract, params, frames, audio, valid
-    )
-    device_kind, peak_tflops, hbm_gbps = _device_peaks()
-    achieved_tflops = (
-        extract_flops / (t_extract * batch) / 1e12 if extract_flops else None
-    )
-    mfu_pct = (
-        100.0 * achieved_tflops / peak_tflops
-        if achieved_tflops and peak_tflops
-        else None
-    )
+    def leg_extract():
+        t = timeit(lambda: extract(params, frames, audio, valid),
+                   iters=t_iters, repeats=t_reps) / batch
+        st.headline["t_extract"] = t
+        st.detail["t_extract_ms"] = round(t * 1e3, 3)
+        st.detail["device"] = str(jax.devices()[0])
 
-    # -- int8 extraction (documented-numerics throughput mode) ---------------
-    # slow-pathway convs in int8 with statically calibrated activation
-    # scales (models/quant.py); never bit-match-eligible — numerics deltas
-    # pinned in tests/test_quant.py. Fail-safe: an int8 compile problem on
-    # the bench chip must not sink the whole benchmark.
-    t_extract_int8 = int8_error = None
-    try:
+    st.run_leg("extract_timeit", leg_extract, required=True)
+
+    def leg_mfu():
+        # MFU from XLA-counted flops (round-2 VERDICT weak #2: make MFU a
+        # measured artifact, not a narrative claim). `extract` is already
+        # jitted — lower/compile hits the executable cache.
+        flops, bytes_ = _cost_analysis(extract, params, frames, audio, valid)
+        device_kind, peak_tflops, hbm_gbps = _device_peaks()
+        st.detail["extract_flops_per_batch"] = flops
+        st.detail["extract_hbm_bytes_per_batch"] = bytes_
+        st.detail["mfu_peak_assumption"] = (
+            f"{device_kind}: {peak_tflops} TFLOP/s bf16"
+            if peak_tflops else f"unknown peak for {device_kind}"
+        )
+        t = st.headline.get("t_extract")
+        if flops and t:
+            achieved = flops / (t * batch) / 1e12
+            st.detail["achieved_tflops"] = round(achieved, 1)
+            if peak_tflops:
+                st.detail["mfu_pct"] = round(100.0 * achieved / peak_tflops, 1)
+        if bytes_ and t and hbm_gbps:
+            st.detail["extract_hbm_util_pct"] = round(
+                100.0 * bytes_ / (t * batch) / 1e9 / hbm_gbps, 1)
+
+    st.run_leg("extract_cost_analysis", leg_mfu, required=True)
+
+    def leg_kmeans():
+        # stage 5: fused 10-way k-means (train 2 epochs + assign)
+        m, k, dmax = 10, 32, 2304
+        kbatch_size = 1024 if not smoke else 64
+        state = kmeans.init_state(jax.random.PRNGKey(0), [dmax] * m, k, dmax)
+        state = state._replace(count=jnp.asarray(10 * k * 10, jnp.int32))
+        kbatch = jnp.asarray(rng.randn(m, kbatch_size, dmax), jnp.float32)
+        train_step = jax.jit(
+            lambda s, b, key: kmeans.train_step(s, b, 0.01, key)
+        )
+        key = jax.random.PRNGKey(1)
+        t_train = timeit(
+            lambda: train_step(state, kbatch, key)[0].centers) / kbatch_size
+        assign = jax.jit(kmeans.assign_step)
+        t_assign = timeit(lambda: assign(state, kbatch)) / kbatch_size
+        epochs = 2
+        t_cluster = epochs * t_train + t_assign
+        st.headline["t_cluster"] = t_cluster
+        st.detail["t_cluster_ms"] = round(t_cluster * 1e3, 4)
+
+    st.run_leg("kmeans", leg_kmeans, required=True)
+
+    # stage 6: batched greedy MI selection
+    v, d, c = (20000, 10, 32) if not smoke else (2000, 10, 32)
+    sel_batch, sel_k = (1024, 205) if not smoke else (128, 26)  # k ~ 0.2*B
+    assignments = rng.randint(0, c, (v, d))
+    pairs = get_cluster_pairing([("x", f"l{i}") for i in range(d)],
+                                "combination")
+
+    def leg_select():
+        selector = mi.BatchGreedySelector(
+            assignments, pairs, ncentroids=c, batch_size=sel_batch,
+            selection_size=sel_k, keep_unselected=True, seed=0,
+        )
+        ids = jnp.asarray(selector.candidate_ids[:sel_batch])
+        valid_mask = jnp.ones((sel_batch,), bool)
+        step = selector._step
+
+        def sel_step():
+            return step(selector.cache, selector.stats, selector.pairs_all,
+                        ids, valid_mask)[0]["N"]
+
+        t_sel_step = timeit(sel_step)
+        # selection visits ~V/B batches to pick 0.2V -> per-clip cost = t/B
+        t_select = t_sel_step / sel_batch
+        st.headline["t_select"] = t_select
+        st.detail["t_select_ms"] = round(t_select * 1e3, 4)
+        st.detail["select_mode_note"] = (
+            "t_select_ms is the TPU-scaled B=1024/k=205 mode; "
+            "bit-match-eligible runs use the reference config B=20/k=4 in "
+            "f64 (t_select_parity_*), a different algorithmic trajectory "
+            "(see PARITY.md)"
+        )
+
+    st.run_leg("select_timeit", leg_select, required=True)
+
+    def leg_parity_select():
+        # the bit-match-eligible configuration (reference config.py:24-35:
+        # B=20, k=4, f64 x64 parity mode) measured alongside the TPU-scaled
+        # mode — the B=1024 number above is a THROUGHPUT design point, not
+        # the trajectory the reference walks (round-2 VERDICT weak #3/#8)
+        parity_selector = mi.BatchGreedySelector(
+            assignments[:2000], pairs, ncentroids=c, batch_size=20,
+            selection_size=4, keep_unselected=True, seed=0, dtype="float64",
+        )
+        p_ids = jnp.asarray(parity_selector.candidate_ids[:20])
+        p_mask = jnp.ones((20,), bool)
+        p_step = parity_selector._step
+
+        def parity_step():
+            with jax.enable_x64(True):
+                return p_step(parity_selector.cache, parity_selector.stats,
+                              parity_selector.pairs_all, p_ids, p_mask)[0]["N"]
+
+        t_parity_step = timeit(parity_step)
+        st.detail["t_select_parity_B20_k4_f64_ms"] = round(
+            t_parity_step / 20 * 1e3, 4)
+
+    st.run_leg("parity_select_timeit", leg_parity_select, required=True)
+
+    # -- optional legs (budget-gated, cheapest first) -------------------------
+
+    def leg_mp4():
+        mp4_rates = bench_mp4_decode(size=size)
+        st.detail["mp4_decode_clips_per_sec_per_core"] = mp4_rates
+        st.detail["mp4_decode_note"] = (
+            "native FFmpeg-library decode (video+AAC audio, 10 s 256p "
+            "mpeg4 clip, 16 kHz mono out); 'sampled' scales/stores only "
+            "the 32 temporal_sampling frames (bit-identical selection). "
+            "The npz host_pipeline numbers are the pre-materialized path; "
+            "this is the compressed-media path per decode worker"
+        )
+
+    st.run_leg("mp4_decode", leg_mp4)
+
+    def leg_e2e():
+        host_rates, e2e, h2d_gbps, best_nw, cores = bench_e2e(
+            extract, params, e2e_batch,
+            num_frames=num_frames, size=size, audio_len=audio_len,
+        )
+        # reconstructed overlapped rate: with decode, H2D, and compute
+        # fully pipelined, throughput = the slowest leg
+        clip_bytes = num_frames * size * size * 3 + audio_len * 4
+        legs = {
+            "host_pipeline": max(host_rates.values()),
+            "h2d": h2d_gbps * 1e9 / clip_bytes,
+        }
+        if "t_extract" in st.headline:
+            legs["device_extract"] = 1.0 / st.headline["t_extract"]
+        bottleneck = min(legs, key=legs.get)
+        e2e_projected = legs[bottleneck]
+        st.detail.update({
+            "e2e_clips_per_sec": round(e2e, 2),
+            "e2e_note": (
+                "tar->decode pool->H2D->extract wall clock; on this "
+                "tunneled dev chip H2D is the floor (see h2d_gbps; real "
+                "TPU-VM PCIe is ~10 GB/s)"
+            ),
+            "h2d_gbps": round(h2d_gbps, 4),
+            "host_pipeline_clips_per_sec_by_workers": host_rates,
+            "host_cores": cores,
+            "host_note": (
+                "host legs are best-of-N passes (shared dev rigs show "
+                "bursty CPU-steal noise on identical passes)"
+                + (
+                    "; decode-worker scaling needs a multi-core host "
+                    "(production TPU-VMs have 96-240 cores); pool "
+                    "correctness+boundedness covered in tests"
+                    if cores <= 1 else ""
+                )
+            ),
+            "e2e_workers": best_nw,
+            "e2e_projected_clips_per_sec": round(e2e_projected, 2),
+            "e2e_bottleneck_leg": bottleneck,
+            "e2e_legs_clips_per_sec": {
+                k: round(val, 2) for k, val in legs.items()
+            },
+            "e2e_overlap_efficiency": (
+                round(e2e / e2e_projected, 3) if e2e_projected > 0 else None
+            ),
+        })
+
+    st.run_leg("e2e", leg_e2e)
+
+    def leg_pretrain():
+        # evaluation-subsystem throughput (contrastive pretrain step)
+        st.detail.update(bench_pretrain(smoke=smoke))
+
+    st.run_leg("pretrain", leg_pretrain)
+
+    def leg_int8():
+        # int8 extraction (documented-numerics throughput mode):
+        # slow-pathway convs in int8 with statically calibrated activation
+        # scales (models/quant.py); never bit-match-eligible — numerics
+        # deltas pinned in tests/test_quant.py.
         cfg_q = get_config({
             "computation.dtype": "bfloat16",
             "computation.fast_block": [4, 4, 4, 4, 4],
@@ -570,225 +885,36 @@ def main():
         models_q, params_q = build_models(cfg_q, key=jax.random.PRNGKey(0))
         for name, model in models_q.items():
             if hasattr(model, "calibrate"):
-                params_q[name] = jax.jit(model.calibrate)(
-                    params_q[name], frames
-                )
+                params_q[name] = jax.jit(model.calibrate)(params_q[name],
+                                                          frames)
         extract_q = make_extract_fn(models_q)
-        _leg("int8 extract timeit")
-        t_extract_int8 = timeit(
+        t_int8 = timeit(
             lambda: extract_q(params_q, frames, audio, valid),
             iters=t_iters, repeats=t_reps,
         ) / batch
-    except Exception as e:  # pragma: no cover - depends on bench backend
-        int8_error = f"{type(e).__name__}: {e}"
-
-    # -- stage 5: fused 10-way k-means (train 2 epochs + assign) -------------
-    m, k, dmax = 10, 32, 2304
-    kbatch_size = 1024 if not smoke else 64
-    _leg("kmeans legs")
-    state = kmeans.init_state(jax.random.PRNGKey(0), [dmax] * m, k, dmax)
-    state = state._replace(count=jnp.asarray(10 * k * 10, jnp.int32))
-    kbatch = jnp.asarray(rng.randn(m, kbatch_size, dmax), jnp.float32)
-    train_step = jax.jit(
-        lambda s, b, key: kmeans.train_step(s, b, 0.01, key)
-    )
-    key = jax.random.PRNGKey(1)
-    t_train = timeit(lambda: train_step(state, kbatch, key)[0].centers) / kbatch_size
-    assign = jax.jit(kmeans.assign_step)
-    t_assign = timeit(lambda: assign(state, kbatch)) / kbatch_size
-    epochs = 2
-    t_cluster = epochs * t_train + t_assign
-
-    # -- stage 6: batched greedy MI selection --------------------------------
-    v, d, c = (20000, 10, 32) if not smoke else (2000, 10, 32)
-    sel_batch, sel_k = (1024, 205) if not smoke else (128, 26)  # k ~ 0.2*B
-    assignments = rng.randint(0, c, (v, d))
-    pairs = get_cluster_pairing([("x", f"l{i}") for i in range(d)], "combination")
-    selector = mi.BatchGreedySelector(
-        assignments, pairs, ncentroids=c, batch_size=sel_batch,
-        selection_size=sel_k, keep_unselected=True, seed=0,
-    )
-    ids = jnp.asarray(selector.candidate_ids[:sel_batch])
-    valid_mask = jnp.ones((sel_batch,), bool)
-    step = selector._step
-
-    def sel_step():
-        return step(selector.cache, selector.stats, selector.pairs_all, ids,
-                    valid_mask)[0]["N"]
-
-    _leg("select timeit")
-    t_sel_step = timeit(sel_step)
-    # selection visits ~V/B batches to pick 0.2V -> per-clip cost = t/B
-    t_select = t_sel_step / sel_batch
-
-    # the bit-match-eligible configuration (reference config.py:24-35:
-    # B=20, k=4, f64 x64 parity mode) measured alongside the TPU-scaled
-    # mode — the B=1024 number above is a THROUGHPUT design point, not the
-    # trajectory the reference walks (round-2 VERDICT weak #3/#8)
-    parity_selector = mi.BatchGreedySelector(
-        assignments[:2000], pairs, ncentroids=c, batch_size=20,
-        selection_size=4, keep_unselected=True, seed=0, dtype="float64",
-    )
-    p_ids = jnp.asarray(parity_selector.candidate_ids[:20])
-    p_mask = jnp.ones((20,), bool)
-    p_step = parity_selector._step
-
-    def parity_step():
-        import jax as _jax
-
-        with _jax.enable_x64(True):
-            return p_step(parity_selector.cache, parity_selector.stats,
-                          parity_selector.pairs_all, p_ids, p_mask)[0]["N"]
-
-    _leg("parity select timeit")
-    t_parity_step = timeit(parity_step)
-    t_select_parity = t_parity_step / 20  # per scanned clip, like t_select
-
-    t_clip = t_extract + t_cluster + t_select
-    device_only = 1.0 / t_clip
-
-    # -- decode-inclusive end-to-end -----------------------------------------
-    _leg("e2e leg")
-    host_rates, e2e, h2d_gbps, best_nw, cores = bench_e2e(
-        extract, params, e2e_batch,
-        num_frames=num_frames, size=size, audio_len=audio_len,
-    )
-    _leg("mp4 decode leg")
-    mp4_rates = bench_mp4_decode(size=size)
-
-    # evaluation-subsystem pretrain step (fail-safe like int8)
-    _leg("pretrain leg")
-    try:
-        pretrain = bench_pretrain(smoke=smoke)
-    except Exception as e:  # pragma: no cover - report, don't kill the bench
-        pretrain = {"pretrain_note": f"{type(e).__name__}: {e}"}
-
-    # optional ACAV100M-scale selection (3.6 GB device table; opt-in)
-    scale_sel = None
-    if os.environ.get("ACAV_BENCH_SCALE"):
-        scale_sel = bench_scale_select(v=200_000 if smoke else 10_000_000)
-
-    # reconstructed overlapped rate: with decode, H2D, and compute fully
-    # pipelined, throughput = the slowest leg. bytes/clip = frames + audio.
-    clip_bytes = num_frames * size * size * 3 + audio_len * 4
-    h2d_clips_per_sec = h2d_gbps * 1e9 / clip_bytes
-    extract_clips_per_sec = 1.0 / t_extract
-    best_host_rate = max(host_rates.values())
-    legs = {
-        "host_pipeline": best_host_rate,
-        "h2d": h2d_clips_per_sec,
-        "device_extract": extract_clips_per_sec,
-    }
-    bottleneck = min(legs, key=legs.get)
-    e2e_projected = legs[bottleneck]
-    # overlap quality on THIS rig: measured e2e vs its own min leg
-    overlap_efficiency = e2e / e2e_projected if e2e_projected > 0 else None
-
-    _leg("done, emitting json")
-    print(
-        json.dumps(
-            {
-                "metric": "curation clips/sec/chip (extract+cluster+select)",
-                "value": round(device_only, 3),
-                "unit": "clips/sec/chip",
-                "vs_baseline": round(device_only / BASELINE_VALUE, 3),
-                "detail": {
-                    "device_only_clips_per_sec": round(device_only, 3),
-                    "e2e_clips_per_sec": round(e2e, 2),
-                    "e2e_note": (
-                        "tar->decode pool->H2D->extract wall clock; on this "
-                        "tunneled dev chip H2D is the floor (see h2d_gbps; "
-                        "real TPU-VM PCIe is ~10 GB/s)"
-                    ),
-                    "h2d_gbps": round(h2d_gbps, 4),
-                    "host_pipeline_clips_per_sec_by_workers": host_rates,
-                    "mp4_decode_clips_per_sec_per_core": mp4_rates,
-                    "mp4_decode_note": (
-                        "native FFmpeg-library decode (video+AAC audio, "
-                        "10 s 256p mpeg4 clip, 16 kHz mono out); 'sampled' "
-                        "scales/stores only the 32 temporal_sampling frames "
-                        "(bit-identical selection). The npz host_pipeline "
-                        "numbers above are the pre-materialized path; this "
-                        "is the compressed-media path per decode worker"
-                    ),
-                    "host_cores": cores,
-                    "host_note": (
-                        "host legs are best-of-N passes (shared dev rigs "
-                        "show bursty CPU-steal noise on identical passes)"
-                        + (
-                            "; decode-worker scaling needs a multi-core "
-                            "host (production TPU-VMs have 96-240 cores); "
-                            "pool correctness+boundedness covered in tests"
-                            if cores <= 1 else ""
-                        )
-                    ),
-                    "e2e_workers": best_nw,
-                    "baseline_anchor": (
-                        "estimated 16 clips/sec/GPU x 5x target (reference "
-                        "publishes no throughput numbers)"
-                    ),
-                    "e2e_projected_clips_per_sec": round(e2e_projected, 2),
-                    "e2e_bottleneck_leg": bottleneck,
-                    "e2e_legs_clips_per_sec": {
-                        k: round(v, 2) for k, v in legs.items()
-                    },
-                    "e2e_overlap_efficiency": (
-                        round(overlap_efficiency, 3)
-                        if overlap_efficiency is not None else None
-                    ),
-                    "t_extract_ms": round(t_extract * 1e3, 3),
-                    "t_cluster_ms": round(t_cluster * 1e3, 4),
-                    "t_select_ms": round(t_select * 1e3, 4),
-                    "t_select_parity_B20_k4_f64_ms": round(
-                        t_select_parity * 1e3, 4
-                    ),
-                    "select_mode_note": (
-                        "t_select_ms is the TPU-scaled B=1024/k=205 mode; "
-                        "bit-match-eligible runs use the reference config "
-                        "B=20/k=4 in f64 (t_select_parity_*), a different "
-                        "algorithmic trajectory (see PARITY.md)"
-                    ),
-                    "t_extract_int8_ms": (
-                        round(t_extract_int8 * 1e3, 3)
-                        if t_extract_int8 else None
-                    ),
-                    "int8_speedup_vs_bf16": (
-                        round(t_extract / t_extract_int8, 3)
-                        if t_extract_int8 else None
-                    ),
-                    "int8_note": (
-                        int8_error or
-                        "int8 s2..s5 convs on both pathways (blocked-T "
-                        "fast kernels quantized in blocked form), static "
-                        "one-batch calibration; documented-numerics mode, "
-                        "not bit-match-eligible (models/quant.py, "
-                        "tests/test_quant.py)"
-                    ),
-                    "extract_flops_per_batch": extract_flops,
-                    "extract_hbm_bytes_per_batch": extract_bytes,
-                    "achieved_tflops": (
-                        round(achieved_tflops, 1) if achieved_tflops else None
-                    ),
-                    "mfu_pct": round(mfu_pct, 1) if mfu_pct else None,
-                    "mfu_peak_assumption": (
-                        f"{device_kind}: {peak_tflops} TFLOP/s bf16"
-                        if peak_tflops else f"unknown peak for {device_kind}"
-                    ),
-                    "device": str(jax.devices()[0]),
-                    "extract_batch": batch,
-                    "extract_dtype": "bfloat16",
-                    **pretrain,
-                    **(scale_sel or {}),
-                    **({"smoke": True} if smoke else {}),
-                    **(
-                        {"per_stage_ms": bench_stages()}
-                        if __import__("os").environ.get("ACAV_BENCH_STAGES")
-                        else {}
-                    ),
-                },
-            }
+        st.detail["t_extract_int8_ms"] = round(t_int8 * 1e3, 3)
+        if "t_extract" in st.headline:
+            st.detail["int8_speedup_vs_bf16"] = round(
+                st.headline["t_extract"] / t_int8, 3)
+        st.detail["int8_note"] = (
+            "int8 s2..s5 convs on both pathways (blocked-T fast kernels "
+            "quantized in blocked form), static one-batch calibration; "
+            "documented-numerics mode, not bit-match-eligible "
+            "(models/quant.py, tests/test_quant.py)"
         )
-    )
+
+    st.run_leg("int8_extract", leg_int8)
+
+    # opt-in legs (env-gated AND budget-gated)
+    if os.environ.get("ACAV_BENCH_SCALE"):
+        st.run_leg("scale_select", lambda: st.detail.update(
+            bench_scale_select(v=200_000 if smoke else 10_000_000)))
+    if os.environ.get("ACAV_BENCH_STAGES"):
+        st.run_leg("per_stage", lambda: st.detail.update(
+            {"per_stage_ms": bench_stages()}))
+
+    st.log("done, emitting json")
+    st.emit(status="complete")
 
 
 if __name__ == "__main__":

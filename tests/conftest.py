@@ -29,3 +29,30 @@ if not os.environ.get("ACAV_TEST_TPU"):
     # loading such entries warns of SIGILL risk (observed hanging a smoke
     # bench). The TPU bench/graft paths do cache (executables target the
     # accelerator, safe to persist).
+
+
+# -- fast/slow tiering (round-3 VERDICT weak #3) ------------------------------
+# The suite outgrew a 1-core rig (~90 min full). Default run = fast tier
+# (<10 min, every subsystem smoke-level); the heavy jit/oracle tests carry
+# @pytest.mark.slow and run with --runslow (all tests) or `-m slow`.
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow tier too (heavy jit/oracle parity tests)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return  # explicit -m selection overrides the default skip
+    skip_slow = pytest.mark.skip(
+        reason="slow tier: pass --runslow (or -m slow) to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -333,6 +333,10 @@ def import_stage(stage: str, module_names):
 
     stage_mods = _STAGE_SYSMODULES.setdefault(stage, {})
     snapshot = set(sys.modules)
+    # pre-existing globals this stage graph will shadow (e.g. an unrelated
+    # top-level `utils`): remember them so exit RESTORES rather than
+    # deletes them (round-3 ADVICE: cross-test pollution risk)
+    prior = {n: sys.modules[n] for n in stage_mods if n in sys.modules}
     sys.modules.update(stage_mods)  # re-expose this stage's module graph
     sys.path.insert(0, str(code_dir))
     try:
@@ -346,7 +350,7 @@ def import_stage(stage: str, module_names):
         # stages); the objects stay alive via the caches.
         for name in (set(sys.modules) - snapshot) | set(stage_mods):
             mod = sys.modules.get(name)
-            if mod is None:
+            if mod is None or mod is prior.get(name):
                 continue
             path = getattr(mod, "__file__", None) or ""
             # namespace packages (dirs without __init__.py, e.g.
@@ -357,6 +361,9 @@ def import_stage(stage: str, module_names):
                     or name in stage_mods or name in ("measures",)):
                 stage_mods[name] = mod
                 del sys.modules[name]
+        for name, mod in prior.items():  # restore shadowed globals
+            if sys.modules.get(name) is not mod:
+                sys.modules[name] = mod
     return out
 
 
@@ -371,6 +378,7 @@ def stage_context(stage: str):
     code_dir = REFERENCE / stage / "code"
     stage_mods = _STAGE_SYSMODULES.setdefault(stage, {})
     snapshot = set(sys.modules)
+    prior = {n: sys.modules[n] for n in stage_mods if n in sys.modules}
     sys.modules.update(stage_mods)
     sys.path.insert(0, str(code_dir))
     try:
@@ -379,7 +387,7 @@ def stage_context(stage: str):
         sys.path.remove(str(code_dir))
         for name in (set(sys.modules) - snapshot) | set(stage_mods):
             mod = sys.modules.get(name)
-            if mod is None:
+            if mod is None or mod is prior.get(name):
                 continue
             path = getattr(mod, "__file__", None) or ""
             ns_paths = " ".join(str(p) for p in getattr(mod, "__path__", ()) or ())
@@ -387,6 +395,9 @@ def stage_context(stage: str):
                     or name in stage_mods or name in ("measures",)):
                 stage_mods[name] = mod
                 del sys.modules[name]
+        for name, mod in prior.items():  # restore shadowed globals
+            if sys.modules.get(name) is not mod:
+                sys.modules[name] = mod
 
 
 @contextlib.contextmanager

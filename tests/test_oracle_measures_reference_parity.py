@@ -121,11 +121,24 @@ class TestSklearnMIParity:
 
 
 class TestGpuMITrajectoryParity:
-    def test_greedy_picks_and_scores_match_f64(self):
-        """Empty start set (no fold): reference EfficientGpuMI rounds ==
-        repo GreedySelector(scorer='mem') picks and scores. The empty
-        start is the unambiguous common semantics — see the position
-        quirk pinned below for why folded starts cannot match."""
+    def test_greedy_trajectory_matches_modulo_tie_order(self):
+        """Reference EfficientGpuMI rounds == repo GreedySelector
+        (scorer='mem') scores, with picks equal MODULO argmax tie order.
+
+        Quirk pinned (root cause of round 3's red test): at this scale
+        many candidates tie BIT-EXACTLY at the round maximum (measured:
+        15 of 58 candidates after seeding — candidates touching the
+        seeded cells identically score identically), and ``torch.topk``
+        breaks ties in an implementation-defined order (observed: id 34)
+        while the repo's ``jnp.argmax`` takes the first index (id 4).
+        A pick-sequence equality is therefore ill-posed. The well-posed
+        parity claim, asserted here per round:
+
+        * the reference's pick always attains the repo's round maximum
+          (it is a member of the repo's argmax tie class), and
+        * replaying the reference's picks into the repo cache keeps the
+          score trajectories equal to f64 rounding.
+        """
         from acav100m_tpu.ops.mi import GreedySelector
 
         mods = _mods()
@@ -136,10 +149,8 @@ class TestGpuMITrajectoryParity:
         clusterings = make_clusterings(mods, A, c)
         combos = [(a, b) for a in range(d) for b in range(a + 1, d)]
         rounds = 8
-        seeds = [7, 23]  # folded into the cache on both sides: from the
-        # all-eps empty cache every candidate scores bit-identically (a
-        # pure argmax tie, broken arbitrarily by torch.topk), so exact
-        # trajectory parity is only well-posed from a seeded cache.
+        seeds = [7, 23]  # seeded cache: from the all-eps empty cache,
+        # EVERY candidate scores bit-identically (one v-wide tie class)
 
         with ro.f64_measures(eff_mod):
             ref = gpu_mod.EfficientGpuMI(clusterings, device="cpu")
@@ -156,11 +167,18 @@ class TestGpuMITrajectoryParity:
         with jax.enable_x64(True):
             sel = GreedySelector(A, combos, ncentroids=c, kind="mi",
                                  scorer="mem", dtype=jnp.float64)
-            selected, gains, _, _ = sel.run_greedy(
-                rounds + len(seeds) + 1, start_indices=seeds, fold_start=True)
-        assert selected[:len(seeds)] == seeds
-        assert selected[len(seeds):] == ref_picks
-        np.testing.assert_allclose(gains, ref_scores, rtol=1e-9)
+            sel.add_samples(seeds)
+            for rnd, (pick, want) in enumerate(zip(ref_picks, ref_scores)):
+                scores = np.array(sel.scores())  # writable copy
+                scores[~sel.active] = -np.inf
+                best = float(scores.max())
+                # the reference's pick is in the repo's argmax tie class
+                assert scores[pick] >= best - 1e-9 * max(1.0, abs(best)), (
+                    rnd, pick, float(scores[pick]), best)
+                # and both sides agree on its score
+                np.testing.assert_allclose(scores[pick], want, rtol=1e-9,
+                                           err_msg=f"round {rnd}")
+                sel.add_samples([pick])  # replay the reference's choice
 
     def test_reference_folds_start_indices_by_position(self):
         """Executed quirk pin: retrieval ``EfficientMemMI.add_samples``

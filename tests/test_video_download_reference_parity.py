@@ -123,11 +123,13 @@ def test_stage2_parity(tmp_path):
     # -- repo download run with the equivalent injected backend -------------
     my_calls: list = []
 
+    from acav100m_tpu.pipeline.video_download import DownloadFailed
+
     def fetch_fn(url, out_path):
         vid = url[-11:]
         my_calls.append(vid)
         if vid in FAIL:
-            raise RuntimeError(f"simulated failure for {vid}")
+            raise DownloadFailed(f"simulated failure for {vid}")
         Path(out_path).write_bytes(b"payload-" + vid.encode())
         return True
 
@@ -143,6 +145,40 @@ def test_stage2_parity(tmp_path):
     assert my_files == ref_files
     assert "dddddddddd4.mp4" not in my_files  # failure swallowed, no file
     assert (ok, total) == (4, 5)  # 5 distinct vids, 1 swallowed failure
+
+
+def test_duplicate_vid_last_url_wins_like_reference(tmp_path):
+    """Reference ``load_data`` is a dict overwrite: when two rows map to
+    the same vid, the LAST row's url is the one attempted (run.py:16-23).
+    The repo's production driver now shares that semantics (round-3
+    ADVICE: the old seen-set kept the FIRST url)."""
+    from acav100m_tpu.pipeline.video_download import run_download
+
+    tsv = tmp_path / "filtered.tsv"
+    tsv.write_text(
+        "https://first.example/watch?v=aaaaaaaaaa1\t{}\n"
+        "https://later.example/watch?v=aaaaaaaaaa1\t{}\n"
+    )
+    attempted: list = []
+    run_download(tsv, tmp_path / "out",
+                 fetch_fn=lambda u, p: attempted.append(u) or False)
+    assert attempted == ["https://later.example/watch?v=aaaaaaaaaa1"]
+
+
+def test_non_download_errors_propagate(tmp_path):
+    """The reference swallows ONLY youtube_dl.utils.DownloadError
+    (run.py:36-37); a buggy backend (TypeError etc.) must propagate, not
+    be silently counted as a failed download (round-3 ADVICE)."""
+    from acav100m_tpu.pipeline.video_download import run_download
+
+    tsv = tmp_path / "filtered.tsv"
+    tsv.write_text("https://www.youtube.com/watch?v=aaaaaaaaaa1\t{}\n")
+
+    def buggy(url, out_path):
+        raise TypeError("backend bug")
+
+    with pytest.raises(TypeError):
+        run_download(tsv, tmp_path / "out", fetch_fn=buggy)
 
 
 def test_second_run_skips_everything(tmp_path):
