@@ -79,14 +79,22 @@ def _make_braceexpand_shim():
 
 
 def _make_webdataset_shim():
-    """The two webdataset surfaces the stage-5 driver touches.
+    """The webdataset surfaces the stage-4/5 drivers touch.
 
     ``ResizedDataset`` is a faithful reimplementation of the version the
     reference itself vendors (``evaluation/code/dataset.py:343-385``):
     fixed per-epoch ``length`` over a PERSISTENT underlying iterator —
     epoch N+1 continues where epoch N stopped and wraps on StopIteration.
-    ``MultiDataset`` is only ever isinstance-checked; ``Dataset`` is only
-    subclassed (stage-4 MetaWebDataset)."""
+    ``MultiDataset`` is only ever isinstance-checked. ``Dataset`` is a
+    functional stand-in for webdataset-0.1's pipeline dataset, covering
+    exactly what stage-4's ``MetaWebDataset`` subclass + ``get_dataset``
+    pipeline use (data/metawebdataset.py:7-74, data/webdataset.py:82-91):
+    ``open_fn``/``shard_hook``/``tarhandler``, ``raw_samples`` override,
+    chained ``map``/``map_tuple``/``pipe`` stages with per-stage exception
+    handlers, and the ``wds.dataset`` helpers ``tardata``/``base_plus_ext``
+    /``valid_sample``/``maybe_collect``/``trace``."""
+    import re as _re
+    import tarfile as _tarfile
     import warnings as _warnings
 
     try:
@@ -95,9 +103,115 @@ def _make_webdataset_shim():
         IterableDataset = object
 
     mod = types.ModuleType("webdataset")
+    dataset_mod = types.ModuleType("webdataset.dataset")
+    dataset_mod.trace = False
 
-    class Dataset:
+    def reraise_exception(exn):
+        raise exn
+
+    def tardata(fileobj, handler=reraise_exception):
+        """(fname, bytes) pairs from a tar stream (wds 0.1 tariterators)."""
+        try:
+            stream = _tarfile.open(fileobj=fileobj, mode="r|*")
+            for tarinfo in stream:
+                if not tarinfo.isreg():
+                    continue
+                fname = tarinfo.name
+                if fname is None:
+                    continue
+                data = stream.extractfile(tarinfo).read()
+                yield fname, data
+        except Exception as exn:
+            if not handler(exn):
+                return
+
+    def base_plus_ext(path):
+        """Split 'dir/base.ext' at the FIRST dot of the basename (the
+        webdataset sample-grouping convention)."""
+        match = _re.match(r"^((?:.*/|)[^.]+)[.]([^/]*)$", path)
+        if not match:
+            return None, None
+        return match.group(1), match.group(2)
+
+    def valid_sample(sample):
+        return (
+            sample is not None
+            and isinstance(sample, dict)
+            and len(list(sample.keys())) > 0
+            and not sample.get("__bad__", False)
+        )
+
+    def maybe_collect():
         pass
+
+    dataset_mod.tardata = tardata
+    dataset_mod.base_plus_ext = base_plus_ext
+    dataset_mod.valid_sample = valid_sample
+    dataset_mod.maybe_collect = maybe_collect
+
+    def _map_stream(data, f, handler):
+        for sample in data:
+            try:
+                result = f(sample)
+            except Exception as exn:
+                if handler(exn):
+                    continue
+                else:
+                    break
+            yield result
+
+    def _map_tuple_stream(data, fs, handler):
+        for sample in data:
+            try:
+                result = tuple(f(x) for f, x in zip(fs, sample))
+            except Exception as exn:
+                if handler(exn):
+                    continue
+                else:
+                    break
+            yield result
+
+    class Dataset(IterableDataset):
+        def __init__(self, urls, *, handler=reraise_exception,
+                     initial_pipeline=None, **kwargs):
+            super().__init__()
+            self.urls = list(urls)
+            self.handler = handler
+            self.tarhandler = handler
+            self.pipeline = list(initial_pipeline or [])
+
+        def open_fn(self, url):
+            return open(url, "rb")
+
+        def shard_hook(self):
+            pass
+
+        def raw_samples(self, urls):  # subclasses override (MetaWebDataset)
+            for url in urls:
+                with self.open_fn(url) as stream:
+                    yield from tardata(stream, handler=self.tarhandler)
+
+        def __iter__(self):
+            data = self.raw_samples(self.urls)
+            for stage in self.pipeline:
+                data = stage(data)
+            return iter(data)
+
+        def map(self, f, handler=None):
+            h = handler or self.handler
+            self.pipeline.append(
+                lambda data, f=f, h=h: _map_stream(data, f, h))
+            return self
+
+        def map_tuple(self, *fs, handler=None):
+            h = handler or self.handler
+            self.pipeline.append(
+                lambda data, fs=tuple(fs), h=h: _map_tuple_stream(data, fs, h))
+            return self
+
+        def pipe(self, f):
+            self.pipeline.append(f)
+            return self
 
     class MultiDataset:
         pass
@@ -140,6 +254,9 @@ def _make_webdataset_shim():
     mod.ResizedDataset = ResizedDataset
     mod.ChoppedDataset = ResizedDataset
     mod.warn_and_continue = warn_and_continue
+    mod.reraise_exception = reraise_exception
+    mod.dataset = dataset_mod
+    sys.modules["webdataset.dataset"] = dataset_mod
     return mod
 
 
@@ -570,6 +687,65 @@ def make_clustering_args(data_dir, out_dir, spec_name, batch_size=4,
     })
     args.data.media.path = spec  # a real Path (stem/parent are used)
     args.data.types = {}  # a real dict (`in` + subscript, utils.py:19-21)
+    return args
+
+
+@contextlib.contextmanager
+def shim_absent_modules(*names):
+    """Install EMPTY module shims for genuinely-absent imports (e.g. ``av``,
+    ``torchvision`` for stage-4's data/video.py, which imports them at
+    module level but whose decode path the driver tests inject). Removed on
+    exit so later ``pytest.importorskip`` calls still see the truth; the
+    reference modules imported meanwhile keep their (unused) bindings."""
+    installed = []
+    try:
+        for name in names:
+            if name in sys.modules:
+                continue
+            try:
+                importlib.import_module(name)
+            except ImportError:
+                shim = types.ModuleType(name)
+                shim._acav_fake = True
+                sys.modules[name] = shim
+                installed.append(name)
+        yield
+    finally:
+        for name in installed:
+            sys.modules.pop(name, None)
+
+
+def make_extraction_args(data_dir, out_dir, spec_name, batch_size=4,
+                         num_frames=4, duration=1.0, shard_ok_ratio=0.99,
+                         save_cache_every=1,
+                         models=("fake_audio", "fake_video"),
+                         audio_models=("fake_audio",)):
+    """args bag consumed by ``feature_extraction/code/run_extraction.py``
+    driving the FULL stage-4 driver on CPU (reference
+    ``feature_extraction/code/config.py`` defaults, shrunk to test scale).
+    ``data.media.path`` carries the tar shard spec (get_shards_path strips
+    the suffix via .stem, data/shards.py:15-19)."""
+    spec = Path(data_dir) / spec_name
+    args = NS.make({
+        "models": list(models),
+        "model_types": {"audio": list(audio_models)},
+        "data": {
+            "batch_size": batch_size,
+            "media": {"path": None, "num_frames": num_frames},
+            "meta": {"path": None},
+            "output": {"path": Path(out_dir),
+                       "shard_ok_ratio": shard_ok_ratio},
+        },
+        "computation": {"device": "cpu", "num_gpus": 1, "num_workers": 0,
+                        "discard_shards": False, "shuffle_bufsize": 0},
+        "acav": {"duration": duration, "skip_shorter_ratio": 0.25,
+                 "save_cache_every": save_cache_every,
+                 "force_cache_restart": False, "use_replicates": False},
+        "debug": False,
+        "log_period": 1000000,
+    })
+    args.data.media.path = spec  # a real Path (stem/parent are used)
+    args.data.types = {}  # real dict (`in` + subscript, utils.py:19-21)
     return args
 
 
