@@ -43,6 +43,12 @@ DATA_DIR = Path(__file__).parent / "data"
 POOL = dict(v=120, d=10, c=16, subset=30, nclasses=14, noise=0.6)
 POOL_SKIP = 8
 E2E = dict(v=200, d=10, c=32, subset=40, nclasses=14, noise=0.6, batch=20, k=4)
+# chunked stage-6 fixture: 2 chunks of 1 shard x 100 clips, each chunk an
+# INDEPENDENT batch_mi run (subset.size 40 -> ceil(40/2)=20 per chunk,
+# chunk.py:45-46) with a FRESH shuffle stream (the repo reseeds its rng per
+# partition; the test unifies the reference per-instance to match)
+CHUNK = dict(v_per_chunk=100, chunks=2, d=10, c=32, per_chunk_subset=20,
+             nclasses=14, noise=0.6, batch=20, k=4)
 
 
 def make_assignments(v, d, c, seed=0, nclasses=5, noise=0.3):
@@ -169,6 +175,32 @@ def engineer_batch(ro, sel, seed=0, shufseed=0, max_iters=80, tol=1e-9):
     raise RuntimeError("batch engineering did not converge")
 
 
+def engineer_chunked(ro, sel, seed=0, shufseed=0, max_iters=80, tol=1e-9):
+    """Each chunk's 100-clip half engineered independently (chunks never
+    interact); both halves use the same fresh-per-chunk shuffle seed."""
+    cfg = CHUNK
+    halves, min_margins = [], []
+    for ci in range(cfg["chunks"]):
+        A = make_assignments(cfg["v_per_chunk"], cfg["d"], cfg["c"],
+                             seed=seed * 10 + ci, nclasses=cfg["nclasses"],
+                             noise=cfg["noise"])
+        fix_rng = np.random.RandomState(20_000 + seed * 100 + ci)
+        for it in range(max_iters):
+            S, rounds = simulate_batch(
+                ro, sel, A, shufseed, cfg["per_chunk_subset"], cfg["c"],
+                cfg["batch"], cfg["k"])
+            bad = [(i, r5) for i, (mm, r5) in enumerate(rounds) if mm < tol]
+            if not bad:
+                min_margins.append(min(mm for mm, _ in rounds))
+                break
+            _, rank5 = bad[0]
+            A[rank5] = _fresh_row(A, fix_rng, cfg["c"], cfg["d"])
+        else:
+            raise RuntimeError(f"chunk {ci} engineering did not converge")
+        halves.append(A)
+    return np.concatenate(halves, axis=0), min(min_margins), it
+
+
 def main():
     sys.path.insert(0, str(Path(__file__).parent.parent))
     import jax
@@ -185,6 +217,10 @@ def main():
     A, mm, iters = engineer_batch(ro, sel)
     np.save(DATA_DIR / "e2e_parity_assignments.npy", A)
     print(f"e2e batch_mi: engineered in {iters} iters, min margin {mm:.2e}")
+
+    A, mm, iters = engineer_chunked(ro, sel)
+    np.save(DATA_DIR / "chunked_parity_assignments.npy", A)
+    print(f"chunked batch_mi: engineered, min margin {mm:.2e}")
 
 
 if __name__ == "__main__":

@@ -775,3 +775,32 @@ def unified_shuffles(mi_or_batch_cls, seed: int):
         yield rng
     finally:
         mi_or_batch_cls.shuffle_candidate_ids = orig
+
+
+@contextlib.contextmanager
+def unified_shuffles_per_instance(mi_or_batch_cls, seed: int):
+    """Like ``unified_shuffles`` but each measure INSTANCE gets its own
+    ``RandomState(seed)`` stream (created lazily on its first shuffle).
+    This matches the repo's chunked-driver semantics — a fresh rng per
+    partition/chunk (pipeline/subset_selection.py run_greedy_partition) —
+    whereas the reference's torch global RNG would thread one stream
+    through every chunk. RNG sourcing only; the algorithm is untouched."""
+    import numpy as np
+    import torch
+
+    orig = mi_or_batch_cls.shuffle_candidate_ids
+
+    def shuffle_candidate_ids(self):
+        rng = getattr(self, "_acav_unified_rng", None)
+        if rng is None:
+            rng = self._acav_unified_rng = np.random.RandomState(seed)
+        perm = rng.permutation(self.candidate_ids.shape[0])
+        self.candidate_ids = self.candidate_ids.index_select(
+            0, torch.from_numpy(perm).to(self.candidate_ids.device)
+        )
+
+    mi_or_batch_cls.shuffle_candidate_ids = shuffle_candidate_ids
+    try:
+        yield
+    finally:
+        mi_or_batch_cls.shuffle_candidate_ids = orig
