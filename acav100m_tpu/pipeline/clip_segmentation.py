@@ -7,8 +7,12 @@ protocol:
   stream-copy clip extraction, ``signature`` perceptual similarity
   (extract_clips.py:54-107). Gated on the ffmpeg binary.
 * ``ArrayVideoBackend`` — decoded-array path for npz clips / tests: SBD by
-  normalized inter-frame change (an scdet-alike), similarity by
-  mean-frame signature correlation.
+  normalized inter-frame change (an scdet-alike).
+
+All decoded-frame backends (Array/OpenCV/NativeAv) score similarity with
+the MPEG-7 video-signature matched-frames metric (``video_signature.py``,
+the vf_signature algorithm over decoded frames); ``FfmpegVideoBackend``
+runs the real filter when a binary exists.
 
 Algorithmics are exact ports: threshold annealing x1.2 until >= num_clips
 valid shots or threshold >= 100 (extract_clips.py:199-213); valid shots
@@ -134,15 +138,9 @@ class ArrayVideoBackend:
         return out_path if out_path.endswith(".npy") else out_path + ".npy"
 
     def similarity(self, path_a, path_b) -> float:
-        a = np.load(path_a).astype(np.float32)
-        b = np.load(path_b).astype(np.float32)
-        sig_a = a.mean(axis=0).ravel()
-        sig_b = b.mean(axis=0).ravel()
-        na = np.linalg.norm(sig_a) or 1.0
-        nb = np.linalg.norm(sig_b) or 1.0
-        corr = float(np.dot(sig_a, sig_b) / (na * nb))
-        return max(corr, 0.0) * 100.0
+        from .video_signature import signature_similarity
 
+        return float(signature_similarity(np.load(path_a), np.load(path_b)))
 
 class OpenCVVideoBackend:
     """Real-video stage-3 backend via OpenCV's BUNDLED FFmpeg (no external
@@ -193,23 +191,24 @@ class OpenCVVideoBackend:
     def similarity(self, path_a, path_b) -> float:
         import cv2
 
-        def signature(path):
+        from .video_signature import signature_similarity
+
+        def read_frames(path):
             cap = cv2.VideoCapture(str(path))
-            acc, n = None, 0
+            frames = []
             while True:
                 ret, frame = cap.read()
                 if not ret:
                     break
-                f = frame.astype(np.float32)
-                acc = f if acc is None else acc + f
-                n += 1
+                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
             cap.release()
-            return (acc / max(n, 1)).ravel() if acc is not None else np.zeros(1)
+            if not frames:
+                return np.zeros((0, 32, 32, 3), np.uint8)
+            return np.stack(frames)
 
-        sig_a, sig_b = signature(path_a), signature(path_b)
-        na = np.linalg.norm(sig_a) or 1.0
-        nb = np.linalg.norm(sig_b) or 1.0
-        return max(float(np.dot(sig_a, sig_b) / (na * nb)), 0.0) * 100.0
+        return float(
+            signature_similarity(read_frames(path_a), read_frames(path_b))
+        )
 
 
 class NativeAvVideoBackend:
@@ -220,9 +219,9 @@ class NativeAvVideoBackend:
     extract_clips.py:54-62), and clip extraction by keyframe-snapped
     stream copy (``av_remux_clip`` = ``ffmpeg -ss .. -c copy``,
     extract_clips.py:88-94). Decodes scores once; annealing just
-    re-thresholds. Similarity = mean-frame signature correlation on
-    decoded clips (the ffmpeg ``signature`` filter needs libavfilter,
-    absent in-image)."""
+    re-thresholds. Similarity = MPEG-7 video-signature matched-frame count
+    over decoded clips (``video_signature.py`` — the vf_signature
+    algorithm; the filter itself needs libavfilter, absent in-image)."""
 
     def __init__(self, in_filepath, sbd_size: int = 0):
         from ..data import native_av
@@ -260,19 +259,20 @@ class NativeAvVideoBackend:
         return str(out_path)
 
     def similarity(self, path_a, path_b) -> float:
-        def signature(path):
-            dec = self._av.decode(path=path, size=0, sample_rate=0)
-            if dec is None or dec["frames"].shape[0] == 0:
-                return np.zeros(1, np.float32)
-            return dec["frames"].astype(np.float32).mean(axis=0).ravel()
+        from .video_signature import signature_similarity
 
-        sig_a, sig_b = signature(path_a), signature(path_b)
-        if sig_a.shape != sig_b.shape:
-            n = min(sig_a.size, sig_b.size)
-            sig_a, sig_b = sig_a[:n], sig_b[:n]
-        na = np.linalg.norm(sig_a) or 1.0
-        nb = np.linalg.norm(sig_b) or 1.0
-        return max(float(np.dot(sig_a, sig_b) / (na * nb)), 0.0) * 100.0
+        def read_frames(path):
+            # decode at a small size: the signature grid is 32x32, so a
+            # 64p decode preserves the block means while skipping most of
+            # the sws_scale + storage cost
+            dec = self._av.decode(path=path, size=64, sample_rate=0)
+            if dec is None or dec["frames"].shape[0] == 0:
+                return np.zeros((0, 64, 64, 3), np.uint8)
+            return dec["frames"]
+
+        return float(
+            signature_similarity(read_frames(path_a), read_frames(path_b))
+        )
 
 
 def open_video_backend(path, backend: str = "auto"):

@@ -209,3 +209,101 @@ class TestQuantDriver:
                     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
                                    + 1e-12)
                     assert cos > 0.99
+
+
+@pytest.mark.slow
+class TestQuantCurationEffect:
+    def test_int8_cluster_and_subset_agreement(self, tmp_path):
+        """Round-3 VERDICT weak #4: int8 was validated only at feature
+        level (cosine > 0.99); its advertised use is CURATION, so measure
+        the end effect — run class-structured synthetic shards through
+        bf16-reference-path (quant=none) and int8 extraction, then the
+        FULL cluster+select stages on each, and compare (a) cluster
+        assignment agreement and (b) selected-subset overlap. The measured
+        values are recorded in PARITY.md (int8 curation delta)."""
+        from acav100m_tpu.pipeline import clustering as pc
+        from acav100m_tpu.pipeline import feature_extraction as fe
+        from acav100m_tpu.pipeline import subset_selection as ss
+        from acav100m_tpu.utils.io import load_pickle
+        from .synthetic import make_shards
+
+        spec = make_shards(tmp_path / "clips", num_shards=2,
+                           clips_per_shard=8, num_classes=4)
+        results = {}
+        for mode, sub in (("none", "fp"), ("int8", "q")):
+            root = tmp_path / sub
+            cfg = fe.get_config({
+                "data.media.path": spec,
+                "data.output.path": str(root / "features"),
+                "data.batch_size": 8,
+                "computation.quant": mode,
+                "models": ["layer_slowfast"],
+                "model_types.audio": [],
+                "model_types.visual": ["layer_slowfast"],
+            })
+            fe.run_extraction(cfg)
+
+            ccfg = pc.get_config({
+                "data.path": str(root / "features" /
+                                 "shard-{000000..000001}.pkl"),
+                "data.batch_size": 8,
+                "data.output.path": str(root / "clusters"),
+                "computation.shuffle_bufsize": 0,
+                "clustering.ncentroids": 4,
+                "clustering.epochs": 2,
+            })
+            state, types, dims = pc.train_clusters(ccfg)
+            saved = pc.assign_clusters(ccfg, state, types)
+
+            assigns = {}
+            for p in saved:
+                for row in load_pickle(p):
+                    dt = {}
+                    for side in ("video_assignments", "audio_assignments"):
+                        for f_ in row[side]:
+                            for layer, v in f_["array"].items():
+                                dt[(f_["model_key"], layer)] = int(v)
+                    assigns[row["filename"]] = dt
+
+            # assignment shards may carry an epoch prefix; glob what exists
+            import glob as _glob
+            from pathlib import Path
+
+            pkls = sorted(_glob.glob(str(root / "clusters" / "*.pkl")))
+            pkls = [p for p in pkls if "cache_epoch" not in Path(p).name]
+            scfg = ss.get_config({
+                "data.path": pkls,
+                "data.output.path": str(root / "output.csv"),
+                "data.meta.path": str(tmp_path / "clips"),
+                "subset.ratio": 0.5,
+                "computation.random_seed": 0,
+            })
+            ss.run_single(scfg)
+            selected = {
+                line.split(",")[1]
+                for line in (root / "output.csv").read_text().splitlines()
+            }
+            results[sub] = {"assigns": assigns, "selected": selected}
+
+        fp, q = results["fp"], results["q"]
+        assert set(fp["assigns"]) == set(q["assigns"])
+        keys = sorted(fp["assigns"])
+        per_type = {}
+        agree = total = 0
+        for fname in keys:
+            for t, v in fp["assigns"][fname].items():
+                same = int(v == q["assigns"][fname][t])
+                agree += same
+                total += 1
+                a, b = per_type.get(t, (0, 0))
+                per_type[t] = (a + same, b + 1)
+        agreement = agree / total
+        overlap = (len(fp["selected"] & q["selected"])
+                   / max(len(fp["selected"]), 1))
+        print(f"int8 curation delta: assignment agreement "
+              f"{agreement:.3f}, subset overlap {overlap:.3f}, "
+              f"per-type {per_type}")
+        # int8 is a documented-numerics mode: the curation outcome must
+        # stay substantially the same or the throughput win is fake
+        assert agreement >= 0.75, (agreement, per_type)
+        assert overlap >= 0.6, (overlap, fp["selected"], q["selected"])
