@@ -15,9 +15,16 @@ import os
 if not os.environ.get("ACAV_TEST_TPU"):
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:
-        os.environ["XLA_FLAGS"] = (
-            _flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    # XLA:CPU in-process collectives SIGABRT the process when a rendezvous
+    # stalls past ~30 s; on a contended 1-core rig the 8 virtual devices'
+    # threads can take that long to all arrive. Stretch the deadlines.
+    if "collective_call_terminate_timeout" not in _flags:
+        _flags += (
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        )
+    os.environ["XLA_FLAGS"] = _flags
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 

@@ -142,6 +142,7 @@ def test_bench_sigterm_emits_json():
         assert payload["detail"]["interrupted_by"] in ("SIGTERM", "SIGALRM")
 
 
+@pytest.mark.slow
 def test_bench_pretrain_smoke():
     from bench import bench_pretrain
 

@@ -139,6 +139,7 @@ class TestSlowFastFidelity:
         )
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.slow
     def test_full_converter_forward_matches(self):
         """End-to-end: build a torch state dict for the REAL SlowFast
         topology with deterministic values, convert, and check a

@@ -38,9 +38,11 @@ jax = pytest.importorskip("jax")
 torch = pytest.importorskip("torch")
 import jax.numpy as jnp  # noqa: E402
 
-pytestmark = pytest.mark.skipif(
-    not ro.has_reference(), reason="reference not present"
-)
+pytestmark = [
+    pytest.mark.skipif(not ro.has_reference(), reason="reference not present"),
+    # production-width torch-vs-flax forwards: heavy jit/oracle tier
+    pytest.mark.slow,
+]
 
 B = 2
 T, CROP = 8, 64          # visual clip (stem halves T; crop 64 -> s5 2x2)

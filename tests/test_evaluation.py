@@ -25,6 +25,7 @@ def tiny_batch(rng, b=4):
 
 
 class TestModels:
+    @pytest.mark.slow
     def test_backbone_output_sizes(self):
         model = em.Contrast(train=False)
         v = jnp.zeros((1, NUM_FRAMES, CROP, CROP, 3))
@@ -113,6 +114,7 @@ class TestData:
         assert {e["video_index"] for e in test_ex} == {0, 1}
 
 
+@pytest.mark.slow
 class TestTraining:
     def test_lr_schedule_warmup_then_decay(self):
         sched = et.lr_schedule("linear", 1.0, 100, warmup_steps=10,
@@ -221,6 +223,7 @@ class TestConfigSurface:
         with pytest.raises(Exception):
             load_config(cfg_file)
 
+    @pytest.mark.slow
     def test_run_task_pretrain_from_shards(self, tmp_path):
         from acav100m_tpu.evaluation.config import load_config, run_task
         from .synthetic import make_shards
@@ -243,6 +246,7 @@ class TestConfigSurface:
         assert (tmp_path / "run" / "epoch_latest.ckpt").is_file()
 
 
+@pytest.mark.slow
 class TestFullEvalChain:
     """End-to-end eval task chain (VERDICT round-1 task 9): pretrain ->
     preemptible ckpt -> head-strip surgery -> linear eval over a
@@ -428,6 +432,7 @@ class TestEvalProtocol:
             seen_as_test += [it["file"] for it in test_ds.items]
         assert sorted(seen_as_test) == sorted(it["file"] for it in items)
 
+    @pytest.mark.slow
     def test_run_protocol_splits_e2e(self, tmp_path):
         """3 splits x 2 views x 3 crops end-to-end through run_protocol:
         per-split results, split-averaged top-1/top-5, and per-video
@@ -473,6 +478,7 @@ class TestEvalProtocol:
         assert len(test_epochs) == 3
         assert all(s["num_videos"] == 4 for s in test_epochs)
 
+    @pytest.mark.slow
     def test_run_protocol_folds_e2e(self, tmp_path):
         from acav100m_tpu.evaluation.config import load_config, run_task
 
@@ -502,6 +508,7 @@ class TestEvalProtocol:
         assert 0.0 <= result["top1"] <= 100.0
 
 
+@pytest.mark.slow
 class TestOrbaxCheckpoint:
     def test_orbax_roundtrip(self, tmp_path):
         model, state, _ = et.init_pretrain(jax.random.PRNGKey(0), 2, 32)
@@ -516,6 +523,7 @@ class TestOrbaxCheckpoint:
 
 
 class TestRematAndWorkers:
+    @pytest.mark.slow
     def test_remat_matches_no_remat(self):
         v = jnp.asarray(
             np.random.RandomState(0).randint(0, 255, (1, 2, 32, 32, 3)), jnp.uint8

@@ -10,6 +10,10 @@ sys.path.insert(0, "/root/repo")
 
 import __graft_entry__ as ge
 
+# the driver exercises both entry points directly every round; in the suite
+# they are the heaviest single compiles → slow tier
+pytestmark = pytest.mark.slow
+
 
 class TestGraftEntry:
     def test_entry_returns_jittable(self):

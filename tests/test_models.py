@@ -205,6 +205,7 @@ class TestSlowFast:
             assert a.shape == np.asarray(b).shape, f"shape mismatch at {kp}"
 
 
+@pytest.mark.slow
 class TestSpaceToDepthStem:
     def test_s2d_stem_matches_plain(self):
         from acav100m_tpu.models.slowfast import Stem

@@ -58,6 +58,7 @@ class TestQuantPrimitives:
         np.testing.assert_array_equal(np.asarray(q2), [127, -127])
 
 
+@pytest.mark.slow
 class TestQuantBackbone:
     def _data(self, seed=1):
         rng = np.random.RandomState(seed)
@@ -173,6 +174,7 @@ class TestQuantBackbone:
             assert np.isfinite(np.asarray(t)).all()
 
 
+@pytest.mark.slow
 class TestQuantDriver:
     def test_extraction_runs_int8_with_first_batch_calibration(self, tmp_path):
         """Driver e2e: quant='int8' calibrates on batch 0 and produces the

@@ -293,6 +293,7 @@ def test_kmeans_lockstep_trajectory(km_mod):
 FIXTURE_DIR = __import__("pathlib").Path(__file__).parent / "data"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["mi", "mem_mi", "ami", "nmi"])
 def test_pool_greedy_trajectory_parity(sel, kind):
     """Full pool-greedy trajectories: reference EfficientMI/AMI/NMI/MemMI vs
@@ -372,6 +373,7 @@ def test_batchmi_full_trajectory_parity(sel):
         assert set(my_S[r : r + k]) == set(ref_S[r : r + k]), f"round {r // k}"
 
 
+@pytest.mark.slow
 def test_retrieval_sgd_collapse_parity(km_mod):
     """Behavioral parity on a DEGENERATE regime: at stand-in dataset scale
     (hundreds of samples, 2048-dim whitened features) the reference's

@@ -219,6 +219,7 @@ class TestFaultTolerance:
         )
 
 
+@pytest.mark.slow
 class TestLockStep:
     """Multi-host lock-step iteration equalization (reference get_length +
     ResizedDataset, mps/distributed.py:444-461)."""
