@@ -14,6 +14,7 @@ is the streaming tar loader with prefetch.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from collections import OrderedDict, defaultdict
 from pathlib import Path
@@ -111,16 +112,80 @@ def _load_weights_file(wfile, model: str):
     return convert_torch_state_dict(sd)
 
 
+def _init_cache_path(name: str, cfg, key) -> Optional[Path]:
+    """Repo-local random-init cache file for one model's init tree.
+
+    Flax init of the production SlowFast+VGGish runs a real forward pass —
+    hundreds of eagerly-dispatched ops, measured 60-700 s on this host —
+    for a tree that is a pure function of (model config, PRNG key, library
+    versions). Cache the bytes like the XLA compile cache caches
+    executables. Keyed on everything that shapes tree structure or values;
+    loads are validated against a fresh ``jax.eval_shape`` of the same
+    init (structure+shape+dtype) so stale entries fall back to real init.
+    """
+    import hashlib
+    import json as _json
+
+    import flax
+
+    ident = _json.dumps({
+        "name": name,
+        "fast_block": list(cfg.computation.fast_block or ()),
+        "pallas": bool(cfg.computation.pallas_stages),
+        "quant": str(cfg.computation.quant or "none"),
+        "num_frames": int(cfg.data.media.num_frames or 32),
+        "key": np.asarray(jax.random.key_data(key)).tolist(),
+        "jax": jax.__version__,
+        "flax": flax.__version__,
+    }, sort_keys=True)
+    digest = hashlib.sha256(ident.encode()).hexdigest()[:20]
+    root = os.environ.get("ACAV_PARAM_INIT_CACHE")
+    base = Path(root) if root else Path(__file__).resolve().parents[2]
+    return base / ".param_init_cache" / f"{name}-{digest}.msgpack"
+
+
+def _cached_init(name: str, cfg, key, init_fn):
+    """init_fn() -> tree, memoized on disk (validated, fail-open)."""
+    import flax.serialization as fser
+
+    try:
+        cache_file = _init_cache_path(name, cfg, key)
+    except Exception:
+        cache_file = None
+    if cache_file is not None and cache_file.is_file():
+        try:
+            shapes = jax.eval_shape(init_fn)  # trace only, no compile
+            tree = fser.from_bytes(shapes, cache_file.read_bytes())
+            ok = all(
+                tuple(a.shape) == tuple(b.shape) and a.dtype == b.dtype
+                for a, b in zip(jax.tree_util.tree_leaves(shapes),
+                                jax.tree_util.tree_leaves(tree))
+            )
+            if ok:
+                return jax.tree_util.tree_map(jnp.asarray, tree)
+        except Exception:
+            pass  # stale/corrupt entry: fall through to real init
+    tree = init_fn()
+    if cache_file is not None:
+        try:
+            cache_file.parent.mkdir(parents=True, exist_ok=True)
+            tmp = cache_file.with_suffix(".tmp")
+            tmp.write_bytes(fser.to_bytes(tree))
+            tmp.replace(cache_file)  # atomic: concurrent builds race safely
+        except Exception:
+            pass
+    return tree
+
+
 def build_models(cfg, key: Optional[jax.Array] = None):
     """Instantiate models + params (converted checkpoints when provided).
 
     Param init runs on the host CPU device: flax init dispatches hundreds of
     small ops, which on a remote/tunneled accelerator costs a round trip
     each; the finished tree transfers to the accelerator in one shot at the
-    first jitted call.
+    first jitted call. Random-init trees are additionally disk-cached
+    (``_cached_init``) so repeat builds cost seconds.
     """
-    if key is None:
-        key = jax.random.PRNGKey(cfg.computation.random_seed or 0)
     dtype = jnp.dtype(cfg.computation.dtype or "float32")
     models = OrderedDict()
     params = {}
@@ -132,6 +197,17 @@ def build_models(cfg, key: Optional[jax.Array] = None):
 
     init_ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
     with init_ctx:
+        # The key must be CPU-COMMITTED, not merely used under
+        # default_device: a key computed on the accelerator is committed
+        # there, and jax then runs every init op that consumes it on the
+        # accelerator too — through the tunneled runtime that is one
+        # round trip per eager op (measured 340-700 s for the full init
+        # vs 60-85 s local). Create fresh keys here; re-commit passed-in
+        # ones with a single transfer.
+        if key is None:
+            key = jax.random.PRNGKey(cfg.computation.random_seed or 0)
+        elif cpu is not None and list(key.devices()) != [cpu]:
+            key = jax.device_put(jax.device_get(key), cpu)
         kv, ka = jax.random.split(key)
         for name in cfg.models:
             cls = get_model(name)
@@ -139,27 +215,44 @@ def build_models(cfg, key: Optional[jax.Array] = None):
                 cfg.computation.fast_block or cfg.computation.pallas_stages
                 or (cfg.computation.quant or "none") != "none"
             ):
-                model = cls(
-                    dtype=dtype,
-                    fast_block=tuple(cfg.computation.fast_block or ()) or None,
-                    pallas_stages=bool(cfg.computation.pallas_stages),
-                    quant=str(cfg.computation.quant or "none"),
-                )
+                def make(dt):
+                    return cls(
+                        dtype=dt,
+                        fast_block=tuple(cfg.computation.fast_block or ())
+                        or None,
+                        pallas_stages=bool(cfg.computation.pallas_stages),
+                        quant=str(cfg.computation.quant or "none"),
+                    )
             else:
-                model = cls(dtype=dtype)
+                make = cls
+            model = make(dtype)
             models[name] = model
+            # Init through a float32 twin: params live in flax param_dtype
+            # (float32) regardless of compute dtype, so the tree is
+            # BIT-IDENTICAL (asserted in tests/test_models.py), while
+            # eager bf16 init on XLA:CPU is ~7x slower than fp32 (measured
+            # 440-713 s vs 60-85 s for the full SlowFast+VGGish build).
+            init_model = model if dtype == jnp.float32 else make(jnp.float32)
             if model.media_type == "video":
-                # init at a small spatial size: conv/BN param shapes are
-                # independent of H,W and the init forward pass is real work
-                p = model.init(kv, num_frames=cfg.data.media.num_frames, size=32)
                 wfile = cfg.weights.slowfast_file
                 if wfile and Path(wfile).is_file():
                     p = _load_weights_file(wfile, "slowfast")
+                else:
+                    # init at a small spatial size: conv/BN param shapes
+                    # are independent of H,W and the init forward pass is
+                    # real work
+                    p = _cached_init(
+                        name, cfg, kv,
+                        lambda: init_model.init(
+                            kv, num_frames=cfg.data.media.num_frames,
+                            size=32))
             else:
-                p = model.init(ka)
                 wfile = cfg.weights.vggish_file
                 if wfile and Path(wfile).is_file():
                     p = _load_weights_file(wfile, "vggish")
+                else:
+                    p = _cached_init(name, cfg, ka,
+                                     lambda: init_model.init(ka))
             params[name] = p
     if cpu is not None and jax.default_backend() != "cpu":
         # move the finished tree to the accelerator ONCE — leaving params on

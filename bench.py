@@ -675,7 +675,7 @@ def main():
     })
 
     def leg_build():
-        return build_models(cfg, key=jax.random.PRNGKey(0))
+        return build_models(cfg)
 
     built = st.run_leg("build_models", leg_build, required=True)
     if built is None:  # nothing downstream can run — emit what we have
@@ -683,11 +683,16 @@ def main():
         return
     models, params = built
     extract = make_extract_fn(models)
-    frames = jnp.asarray(
-        rng.randint(0, 255, (batch, num_frames, size, size, 3)), jnp.uint8
-    )
-    audio = jnp.asarray(rng.randn(batch, audio_len), jnp.float32)
+    # generate the timing batch ON DEVICE: materializing it on the host and
+    # transferring costs ~180 s for the 1.6 GB uint8 frames through the
+    # tunneled H2D link (measured), for a throughput bench whose numbers are
+    # shape-dependent, not value-dependent
+    kf, kaud = jax.random.split(jax.random.PRNGKey(123))
+    frames = jax.random.randint(
+        kf, (batch, num_frames, size, size, 3), 0, 255, jnp.uint8)
+    audio = jax.random.normal(kaud, (batch, audio_len), jnp.float32)
     valid = jnp.full((batch,), audio_len, jnp.int32)
+    jax.block_until_ready(frames)
 
     def leg_extract():
         t = timeit(lambda: extract(params, frames, audio, valid),
@@ -728,7 +733,8 @@ def main():
         kbatch_size = 1024 if not smoke else 64
         state = kmeans.init_state(jax.random.PRNGKey(0), [dmax] * m, k, dmax)
         state = state._replace(count=jnp.asarray(10 * k * 10, jnp.int32))
-        kbatch = jnp.asarray(rng.randn(m, kbatch_size, dmax), jnp.float32)
+        kbatch = jax.random.normal(  # on-device: skip the ~95 MB tunnel H2D
+            jax.random.PRNGKey(2), (m, kbatch_size, dmax), jnp.float32)
         train_step = jax.jit(
             lambda s, b, key: kmeans.train_step(s, b, 0.01, key)
         )
@@ -882,7 +888,7 @@ def main():
             "computation.fast_block": [4, 4, 4, 4, 4],
             "computation.quant": "int8",
         })
-        models_q, params_q = build_models(cfg_q, key=jax.random.PRNGKey(0))
+        models_q, params_q = build_models(cfg_q)
         for name, model in models_q.items():
             if hasattr(model, "calibrate"):
                 params_q[name] = jax.jit(model.calibrate)(params_q[name],

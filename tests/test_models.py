@@ -12,6 +12,58 @@ from acav100m_tpu.models.slowfast import (
 )
 
 
+class TestDtypeIndependentInit:
+    def test_init_tree_is_bit_identical_across_compute_dtypes(self):
+        """build_models inits bf16/int8 models through a float32 twin
+        (pipeline/feature_extraction.py): flax keeps params in param_dtype
+        (float32) regardless of compute dtype, so the twin's tree must be
+        BIT-identical — structure, dtypes, and values. Pin that contract
+        on a representative block and on the full VGGish (small enough to
+        init eagerly both ways)."""
+        from acav100m_tpu.models.slowfast import Bottleneck
+
+        x = jnp.zeros((1, 4, 16, 16, 8))
+        p32 = Bottleneck(dim_out=16, dim_inner=4, temp_kernel=3,
+                         dtype=jnp.float32).init(jax.random.PRNGKey(0), x)
+        pbf = Bottleneck(dim_out=16, dim_inner=4, temp_kernel=3,
+                         dtype=jnp.bfloat16).init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(p32)
+                == jax.tree_util.tree_structure(pbf))
+        for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(p32),
+                                  jax.tree_util.tree_leaves_with_path(pbf)):
+            assert a.dtype == b.dtype and a.shape == b.shape, k
+            assert (np.asarray(a) == np.asarray(b)).all(), k
+
+        v32 = LayerVggish(dtype=jnp.float32).init(jax.random.PRNGKey(1))
+        vbf = LayerVggish(dtype=jnp.bfloat16).init(jax.random.PRNGKey(1))
+        for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(v32),
+                                  jax.tree_util.tree_leaves_with_path(vbf)):
+            assert a.dtype == b.dtype, k
+            assert (np.asarray(a) == np.asarray(b)).all(), k
+
+    def test_build_models_bf16_uses_fp32_twin_tree(self):
+        """The bf16 build's param tree equals the fp32 build's bit-for-bit
+        (same PRNG key), i.e. the twin path changes nothing observable."""
+        from acav100m_tpu.pipeline.feature_extraction import (
+            build_models, get_config)
+
+        key = jax.random.PRNGKey(7)
+        cfg32 = get_config({"models": ["layer_vggish"],
+                            "model_types.visual": [],
+                            "model_types.audio": ["layer_vggish"]})
+        cfgbf = get_config({"models": ["layer_vggish"],
+                            "model_types.visual": [],
+                            "model_types.audio": ["layer_vggish"],
+                            "computation.dtype": "bfloat16"})
+        _, p32 = build_models(cfg32, key=key)
+        mbf, pbf = build_models(cfgbf, key=key)
+        assert mbf["layer_vggish"].backbone.dtype == jnp.bfloat16
+        for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(p32),
+                                  jax.tree_util.tree_leaves_with_path(pbf)):
+            assert a.dtype == b.dtype, k
+            assert (np.asarray(a) == np.asarray(b)).all(), k
+
+
 class TestRegistry:
     def test_names(self):
         names = model_names()
