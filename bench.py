@@ -532,6 +532,9 @@ class BenchState:
         self.legs_done = []
         self.legs_skipped = []
         self.emitted = False
+        import threading
+
+        self._emit_lock = threading.Lock()
 
     def elapsed(self):
         return self.now() - self.t0
@@ -594,9 +597,10 @@ class BenchState:
         }
 
     def emit(self, status="complete"):
-        if self.emitted:
-            return
-        self.emitted = True
+        with self._emit_lock:
+            if self.emitted:
+                return
+            self.emitted = True
         print(json.dumps(self.payload(status)), flush=True)
 
     def install_signal_emitters(self):
@@ -621,11 +625,41 @@ class BenchState:
             signal.signal(sig, handler)
         signal.alarm(max(1, int(self.budget_s)))
 
+    def install_watchdog(self, grace_s=15.0):
+        """Backstop for the case signals cannot reach: the main thread
+        blocked INSIDE one native call past the whole budget (observed in
+        the wild — a hung TPU-tunnel RPC parked `jax.devices()` for 20+
+        minutes; Python runs signal handlers only between bytecodes, so
+        SIGALRM/SIGTERM never fired). Native XLA/runtime calls release
+        the GIL, so a daemon thread can still assemble and print the
+        partial artifact and hard-exit the process."""
+        import threading
+
+        def watch():  # pragma: no cover - exercised via subprocess test
+            deadline = self.budget_s + grace_s
+            while True:
+                rem = deadline - self.elapsed()
+                if rem <= 0:
+                    break
+                time.sleep(min(rem, 10.0))
+                if self.emitted:
+                    return
+            if not self.emitted:
+                self.detail.setdefault("interrupted_by", "watchdog_thread")
+                self.detail["interrupted_at_s"] = round(self.elapsed(), 1)
+                self.emit(status="partial")
+                sys.stdout.flush()
+                os._exit(0)
+
+        t = threading.Thread(target=watch, name="bench-watchdog", daemon=True)
+        t.start()
+
 
 def main():
     smoke = bool(os.environ.get("ACAV_BENCH_SMOKE"))
     st = BenchState(smoke=smoke)
     st.install_signal_emitters()
+    st.install_watchdog()
 
     import jax
     import jax.numpy as jnp

@@ -142,6 +142,37 @@ def test_bench_sigterm_emits_json():
         assert payload["detail"]["interrupted_by"] in ("SIGTERM", "SIGALRM")
 
 
+def test_bench_watchdog_emits_when_signals_cannot():
+    """The failure mode signals can't cover: the main thread parked inside
+    ONE native call for the whole budget (observed live: a hung TPU-tunnel
+    RPC blocked `jax.devices()` for 20+ minutes — Python only runs signal
+    handlers between bytecodes, so the SIGALRM/SIGTERM emitters never
+    fired). Simulated here by BLOCKING those signals at the OS level and
+    sleeping past the budget; only the watchdog daemon thread can emit."""
+    code = (
+        "import signal, sys, time\n"
+        "sys.path.insert(0, sys.argv[1])\n"
+        "from bench import BenchState\n"
+        "st = BenchState(budget_s=2.0)\n"
+        "st.install_signal_emitters()\n"
+        "st.install_watchdog(grace_s=1.0)\n"
+        "signal.pthread_sigmask(signal.SIG_BLOCK,\n"
+        "    {signal.SIGTERM, signal.SIGALRM, signal.SIGINT})\n"
+        "time.sleep(120)  # 'hung native call' stand-in\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code, str(REPO)],
+        capture_output=True, timeout=60, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    lines = [l for l in proc.stdout.decode().splitlines()
+             if l.startswith("{")]
+    assert lines, "watchdog did not emit"
+    payload = json.loads(lines[-1])
+    assert payload["detail"]["status"] == "partial"
+    assert payload["detail"]["interrupted_by"] == "watchdog_thread"
+
+
 @pytest.mark.slow
 def test_bench_pretrain_smoke():
     from bench import bench_pretrain
