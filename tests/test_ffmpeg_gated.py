@@ -104,6 +104,73 @@ class TestFfmpegBackend:
             assert p.endswith(".mp4")
 
 
+def _textured_frames(n, w=64, h=64, speed=3, phase=0.0, seed=0):
+    """Moving sine-product texture — rich enough for the signature's
+    block-difference features, compresses as real video (not noise)."""
+    t = np.arange(n)[:, None, None]
+    y = np.arange(h)[None, :, None]
+    x = np.arange(w)[None, None, :]
+    base = (127 + 100 * np.sin(2 * np.pi * (x + speed * t) / w + phase)
+            * np.cos(2 * np.pi * (y + 2 * t) / h))
+    fr = np.clip(base + np.random.RandomState(seed).randint(
+        -6, 6, base.shape), 0, 255).astype(np.uint8)
+    return np.repeat(fr[..., None], 3, axis=-1)
+
+
+def _encode(frames, path, fps=10):
+    h, w = frames.shape[1:3]
+    subprocess.run(
+        [shutil.which("ffmpeg"), "-y", "-v", "error",
+         "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}",
+         "-r", str(fps), "-i", "-", "-pix_fmt", "yuv420p", str(path)],
+        input=np.ascontiguousarray(frames).tobytes(), check=True,
+    )
+    return path
+
+
+def test_signature_port_rank_agrees_with_real_filter(tmp_path):
+    """Round-4 VERDICT weak #5 / task 5: the MPEG-7 signature PORT
+    (``video_signature.py``, seeded geometry table) vs the REAL
+    ``vf_signature detectmode=full`` on the same clip pairs — identity /
+    temporally shifted / unrelated / shuffled. What the stage-3 diversity
+    samplers consume is the ORDERING of pairwise similarities
+    (``extract_clips.py:97-107``), so the assertion is rank agreement:
+    both metrics must order identity >= shifted > {unrelated, shuffled},
+    bounding the seeded table's steering divergence by measurement."""
+    from acav100m_tpu.data.video import FfmpegCliDecoder
+    from acav100m_tpu.pipeline.clip_segmentation import FfmpegVideoBackend
+    from acav100m_tpu.pipeline.video_signature import signature_similarity
+
+    src = _textured_frames(40, speed=3, seed=1)
+    shuf = src[:30][np.random.RandomState(7).permutation(30)]
+    clips = {
+        "anchor": _encode(src[:30], tmp_path / "anchor.mp4"),
+        "ident": _encode(src[:30], tmp_path / "ident.mp4"),
+        "shift": _encode(src[10:40], tmp_path / "shift.mp4"),
+        "unrel": _encode(_textured_frames(30, speed=-5, phase=1.7, seed=2),
+                         tmp_path / "unrel.mp4"),
+        "shuf": _encode(shuf, tmp_path / "shuf.mp4"),
+    }
+
+    backend = FfmpegVideoBackend(clips["anchor"])
+    real = {k: backend.similarity(clips["anchor"], p)
+            for k, p in clips.items() if k != "anchor"}
+
+    dec = FfmpegCliDecoder(size=64, sample_rate=16000)
+    frames = {k: dec.decode_path(p)["frames"] for k, p in clips.items()}
+    port = {k: signature_similarity(frames["anchor"], frames[k])
+            for k in clips if k != "anchor"}
+
+    for name, sims in (("real vf_signature", real), ("port", port)):
+        assert sims["ident"] >= sims["shift"], (name, sims)
+        assert sims["shift"] > sims["unrel"], (name, sims)
+        assert sims["shift"] > sims["shuf"], (name, sims)
+    # full rank agreement on the ordering the samplers consume (ties of
+    # the two near-zero pairs at the bottom are rank-equivalent)
+    rank = lambda sims: sorted(["ident", "shift"], key=lambda k: -sims[k])
+    assert rank(real) == rank(port)
+
+
 class TestFfmpegCliDecoder:
     def test_decode_mp4_contract(self, scene_video):
         from acav100m_tpu.data.video import FfmpegCliDecoder

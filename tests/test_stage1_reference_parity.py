@@ -68,8 +68,9 @@ STOPWORD_LISTS = {
 }
 
 
-@pytest.fixture()
-def injectables(monkeypatch):
+def _patch_nltk(monkeypatch):
+    """nltk punkt/stopwords DATA are absent (no egress) — same stand-ins
+    on both sides; PorterStemmer itself is real and data-free."""
     import nltk
 
     from acav100m_tpu.pipeline.metadata_filtering import _TOKEN_RE
@@ -77,14 +78,6 @@ def injectables(monkeypatch):
     def regex_tokenize(text):
         return _TOKEN_RE.findall(text)
 
-    class FakeFasttextModel:
-        def predict(self, text, k=1):
-            return (("__label__" + fake_language(text),), (0.99,))
-
-    fake_fasttext = types.ModuleType("fasttext")
-    fake_fasttext.load_model = lambda path: FakeFasttextModel()
-
-    monkeypatch.setitem(sys.modules, "fasttext", fake_fasttext)
     monkeypatch.setattr(nltk, "word_tokenize", regex_tokenize)
     monkeypatch.setattr(nltk, "download", lambda *a, **k: True)
     # nltk.corpus.stopwords is a LazyCorpusLoader — touching any attribute
@@ -96,6 +89,36 @@ def injectables(monkeypatch):
     return regex_tokenize
 
 
+@pytest.fixture()
+def injectables(monkeypatch):
+    regex_tokenize = _patch_nltk(monkeypatch)
+
+    class FakeFasttextModel:
+        def predict(self, text, k=1):
+            return (("__label__" + fake_language(text),), (0.99,))
+
+    fake_fasttext = types.ModuleType("fasttext")
+    fake_fasttext.load_model = lambda path: FakeFasttextModel()
+
+    monkeypatch.setitem(sys.modules, "fasttext", fake_fasttext)
+    return regex_tokenize
+
+
+@pytest.fixture()
+def real_ftz_injectables(monkeypatch):
+    """nltk patched as in ``injectables``, but ``fasttext`` is the repo's
+    pure-numpy ftz reader wrapped as a module shim — the wheel's
+    ``LanguageDetector.init_fasttext`` (filter.py:131-135) then loads and
+    runs its own bundled REAL ``lid.176.ftz`` (round-4 VERDICT task 3)."""
+    from acav100m_tpu.pipeline import fasttext_ftz
+
+    regex_tokenize = _patch_nltk(monkeypatch)
+    shim = types.ModuleType("fasttext")
+    shim.load_model = fasttext_ftz.load_model
+    monkeypatch.setitem(sys.modules, "fasttext", shim)
+    return regex_tokenize
+
+
 @pytest.fixture(scope="module")
 def wheel_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("wheel")
@@ -104,8 +127,7 @@ def wheel_dir(tmp_path_factory):
     return d
 
 
-@pytest.fixture()
-def wheel_filter_module(wheel_dir, injectables, monkeypatch):
+def _import_wheel(wheel_dir, monkeypatch):
     # fresh import under the patched environment
     for name in [n for n in sys.modules if n == "filter" or n.startswith("filter.")]:
         monkeypatch.delitem(sys.modules, name)
@@ -117,6 +139,16 @@ def wheel_filter_module(wheel_dir, injectables, monkeypatch):
     yield mod
     for name in [n for n in sys.modules if n == "filter" or n.startswith("filter.")]:
         del sys.modules[name]
+
+
+@pytest.fixture()
+def wheel_filter_module(wheel_dir, injectables, monkeypatch):
+    yield from _import_wheel(wheel_dir, monkeypatch)
+
+
+@pytest.fixture()
+def wheel_filter_module_real_ftz(wheel_dir, real_ftz_injectables, monkeypatch):
+    yield from _import_wheel(wheel_dir, monkeypatch)
 
 
 # -- fixture tsv sweeping every rule boundary ---------------------------------
@@ -328,3 +360,66 @@ def test_tutorial_rule_quirk_and_stem_path(tmp_path, wheel_filter_module,
         ref_ok = ref_filter("v", text, "People", 100)
         my_ok = my_filter("v", text, "People", 100)
         assert ref_ok == my_ok == expect, text
+
+
+# -- the REAL example tsv with the REAL language model -------------------------
+
+EXAMPLE_TSV = REFERENCE / "examples" / "metadata.tsv"
+
+
+@pytest.mark.skipif(not EXAMPLE_TSV.is_file(),
+                    reason="examples/metadata.tsv not present")
+def test_real_example_tsv_with_real_lid176(tmp_path,
+                                           wheel_filter_module_real_ftz):
+    """Round-4 VERDICT missing #3: the one piece of real reference data
+    usable in-image (``examples/metadata.tsv``) through stage 1 on BOTH
+    sides with the REAL ``lid.176.ftz`` — no fake language model anywhere.
+    The wheel runs its own driver (``filter/filter.py:263-276`` run_file)
+    over its own bundled statics, its ``fasttext`` import satisfied by the
+    repo's pure-numpy ftz reader; the repo runs ``mf.run_file`` with the
+    standalone keyword csvs and the same model file. Kept-file bytes must
+    match, and the real rows make the language gate load-bearing: row 1 is
+    Turkish (non-major, dropped by the REAL model), rows 2/3 are en/es."""
+    from acav100m_tpu.pipeline import metadata_filtering as mf
+
+    mod = wheel_filter_module_real_ftz
+
+    # reference side: the wheel's own run_file driver end-to-end
+    ref_out = tmp_path / "ref_filtered.tsv"
+    mod.run_file(EXAMPLE_TSV, ref_out)
+
+    # repo side: same real model file, standalone keyword dir
+    ftz = Path(mod.__file__).parent / "statics" / "lid.176.ftz"
+    my_out = tmp_path / "my_filtered.tsv"
+    kept, total = mf.run_file(EXAMPLE_TSV, my_out,
+                              keywords_dir=KEYWORDS_DIR, fasttext_model=ftz)
+    assert isinstance(
+        mf.MetadataFilter(keywords_dir=KEYWORDS_DIR,
+                          fasttext_model=ftz).language_detector,
+        mf.FastTextLanguageDetector)
+
+    assert ref_out.read_bytes() == my_out.read_bytes()
+    assert total == 3
+
+    # per-row agreement + the REAL detected languages (both sides run the
+    # same preprocessor contract; languages via the wheel's own detector)
+    det = mod.LanguageDetector()
+    pre = mod.Preprocessor()
+    ref_filter = mod.Filter(mod.load_keywords())
+    langs, decisions = [], []
+    for line in EXAMPLE_TSV.read_text().splitlines():
+        fields = pre(line.strip())
+        assert fields is not None
+        langs.append(det(fields[1]))
+        ref_ok = ref_filter(*fields)
+        my_ok = mf.MetadataFilter(keywords_dir=KEYWORDS_DIR,
+                                  fasttext_model=ftz)(*fields)
+        assert ref_ok == my_ok
+        decisions.append(ref_ok)
+
+    assert langs == ["tr", "en", "es"]
+    # Turkish is outside the 8 major languages -> dropped by the language
+    # gate; the en/es rows survive every rule (durations 149/124 s, no
+    # keyword family hits after URL stripping)
+    assert decisions == [False, True, True]
+    assert kept == 2
