@@ -269,6 +269,36 @@ class TestBenchState:
         for k in ("mfu_pct", "t_extract_ms", "t_cluster_ms"):
             assert full["detail"][k] == compact["detail"][k]
 
+    def test_emit_masks_signals_during_critical_section(self, monkeypatch,
+                                                        capsys):
+        """ADVICE r4 medium: the SIGTERM/SIGALRM handler itself calls
+        emit(); a signal landing while the main thread holds the
+        non-reentrant emit lock would self-deadlock. emit() therefore
+        masks those signals across the locked section — asserted here at
+        print time (inside the lock), with the mask restored after."""
+        import builtins
+        import signal as sigmod
+
+        st, _ = self._state()
+        st.headline["t_extract"] = 0.01
+        before = sigmod.pthread_sigmask(sigmod.SIG_BLOCK, set())
+        masks = []
+        real_print = builtins.print
+
+        def spy_print(*a, **k):
+            masks.append(sigmod.pthread_sigmask(sigmod.SIG_BLOCK, set()))
+            return real_print(*a, **k)
+
+        monkeypatch.setattr(builtins, "print", spy_print)
+        st.emit()
+        monkeypatch.undo()
+        assert masks, "emit printed nothing"
+        for m in masks:
+            assert {sigmod.SIGTERM, sigmod.SIGALRM,
+                    sigmod.SIGINT} <= set(m)
+        after = sigmod.pthread_sigmask(sigmod.SIG_BLOCK, set())
+        assert set(after) == set(before)  # mask restored on exit
+
     def test_emit_survives_unwritable_sidecar(self, capsys, tmp_path):
         st, _ = self._state(tmp_path=tmp_path / "nodir" / "deeper")
         st.headline["t_extract"] = 0.01
@@ -347,6 +377,22 @@ def test_bench_watchdog_emits_when_signals_cannot():
     assert payload["detail"]["interrupted_by"] == "watchdog_thread"
 
 
+def test_roofline_suspects():
+    """>100% of either wall is flagged, never published as fact (round-4
+    VERDICT weak #1: 142% HBM util went out unmarked)."""
+    from bench import _roofline_suspects
+
+    assert _roofline_suspects("x", 50.0, 80.0) == []
+    assert _roofline_suspects("x", None, None) == []
+    sus = _roofline_suspects("pretrain", 101.0, 142.1)
+    assert len(sus) == 2
+    assert sus[0].startswith("pretrain_mfu_pct=101.0")
+    assert sus[1].startswith("pretrain_hbm_util_pct=142.1")
+    assert all("physically impossible" in s for s in sus)
+    # compact-line truncation keeps the claim readable
+    assert all(len(s.split(":")[0]) < 100 for s in sus)
+
+
 @pytest.mark.slow
 def test_bench_pretrain_smoke():
     from bench import bench_pretrain
@@ -355,6 +401,11 @@ def test_bench_pretrain_smoke():
     assert out["t_pretrain_step_ms"] > 0
     assert out["pretrain_clips_per_sec"] > 0
     assert out["pretrain_batch"] == 8
+    # the roofline sanity contract: a suspect list always present, and the
+    # step/fwd flops cross-check computed whenever the backend counts flops
+    assert isinstance(out["suspect"], list)
+    if out.get("pretrain_step_flops") and out.get("pretrain_fwd_flops"):
+        assert out["pretrain_step_fwd_flops_ratio"] > 0
 
 
 def test_bench_scale_select_smoke():
