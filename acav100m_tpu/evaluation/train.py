@@ -231,10 +231,41 @@ def normalize_visual(frames: jnp.ndarray) -> jnp.ndarray:
 def init_pretrain(key, num_frames: int = 8, crop: int = 112,
                   optimizer: Optional[optax.GradientTransformation] = None,
                   dtype=jnp.float32) -> Tuple[Contrast, TrainState, optax.GradientTransformation]:
+    """Init runs on the host CPU device (flax init dispatches hundreds of
+    small eager ops — each a round trip on a remote/tunneled accelerator;
+    the tree transfers in one shot at the first jitted step) and the
+    random-init tree is disk-cached like ``build_models``'s
+    (``utils.init_cache``; measured ~390 s -> seconds per bench pretrain
+    leg on the tunneled v5e)."""
+    import contextlib
+
+    import flax
+
+    from ..utils.init_cache import cached_init
+
     model = Contrast(train=True, dtype=dtype)
-    visual = jnp.zeros((2, num_frames, crop, crop, 3))
-    audio = jnp.zeros((2, 80, 128, 1))
-    variables = model.init(key, visual, audio)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    init_ctx = (jax.default_device(cpu) if cpu is not None
+                else contextlib.nullcontext())
+    with init_ctx:
+        ckey = jax.device_put(key, cpu) if cpu is not None else key
+        visual = jnp.zeros((2, num_frames, crop, crop, 3))
+        audio = jnp.zeros((2, 80, 128, 1))
+        ident = {
+            "name": "contrast_pretrain",
+            "num_frames": int(num_frames),
+            "crop": int(crop),
+            "dtype": str(jnp.dtype(dtype)),
+            "key": np.asarray(jax.random.key_data(key)).tolist(),
+            "jax": jax.__version__,
+            "flax": flax.__version__,
+        }
+        variables = cached_init(
+            "contrast_pretrain", ident,
+            lambda: model.init(ckey, visual, audio))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if optimizer is None:

@@ -14,7 +14,6 @@ is the streaming tar loader with prefetch.
 from __future__ import annotations
 
 import functools
-import os
 import time
 from collections import OrderedDict, defaultdict
 from pathlib import Path
@@ -112,23 +111,16 @@ def _load_weights_file(wfile, model: str):
     return convert_torch_state_dict(sd)
 
 
-def _init_cache_path(name: str, cfg, key) -> Optional[Path]:
-    """Repo-local random-init cache file for one model's init tree.
-
-    Flax init of the production SlowFast+VGGish runs a real forward pass —
-    hundreds of eagerly-dispatched ops, measured 60-700 s on this host —
-    for a tree that is a pure function of (model config, PRNG key, library
-    versions). Cache the bytes like the XLA compile cache caches
-    executables. Keyed on everything that shapes tree structure or values;
-    loads are validated against a fresh ``jax.eval_shape`` of the same
-    init (structure+shape+dtype) so stale entries fall back to real init.
-    """
-    import hashlib
-    import json as _json
-
+def _cached_init(name: str, cfg, key, init_fn):
+    """init_fn() -> tree, memoized on disk (validated, fail-open) — see
+    ``utils.init_cache`` (shared with ``evaluation.train.init_pretrain``).
+    The ident captures everything that shapes this stage's tree structure
+    or values."""
     import flax
 
-    ident = _json.dumps({
+    from ..utils.init_cache import cached_init
+
+    ident = {
         "name": name,
         "fast_block": list(cfg.computation.fast_block or ()),
         "pallas": bool(cfg.computation.pallas_stages),
@@ -137,44 +129,8 @@ def _init_cache_path(name: str, cfg, key) -> Optional[Path]:
         "key": np.asarray(jax.random.key_data(key)).tolist(),
         "jax": jax.__version__,
         "flax": flax.__version__,
-    }, sort_keys=True)
-    digest = hashlib.sha256(ident.encode()).hexdigest()[:20]
-    root = os.environ.get("ACAV_PARAM_INIT_CACHE")
-    base = Path(root) if root else Path(__file__).resolve().parents[2]
-    return base / ".param_init_cache" / f"{name}-{digest}.msgpack"
-
-
-def _cached_init(name: str, cfg, key, init_fn):
-    """init_fn() -> tree, memoized on disk (validated, fail-open)."""
-    import flax.serialization as fser
-
-    try:
-        cache_file = _init_cache_path(name, cfg, key)
-    except Exception:
-        cache_file = None
-    if cache_file is not None and cache_file.is_file():
-        try:
-            shapes = jax.eval_shape(init_fn)  # trace only, no compile
-            tree = fser.from_bytes(shapes, cache_file.read_bytes())
-            ok = all(
-                tuple(a.shape) == tuple(b.shape) and a.dtype == b.dtype
-                for a, b in zip(jax.tree_util.tree_leaves(shapes),
-                                jax.tree_util.tree_leaves(tree))
-            )
-            if ok:
-                return jax.tree_util.tree_map(jnp.asarray, tree)
-        except Exception:
-            pass  # stale/corrupt entry: fall through to real init
-    tree = init_fn()
-    if cache_file is not None:
-        try:
-            cache_file.parent.mkdir(parents=True, exist_ok=True)
-            tmp = cache_file.with_suffix(".tmp")
-            tmp.write_bytes(fser.to_bytes(tree))
-            tmp.replace(cache_file)  # atomic: concurrent builds race safely
-        except Exception:
-            pass
-    return tree
+    }
+    return cached_init(name, ident, init_fn)
 
 
 def build_models(cfg, key: Optional[jax.Array] = None):

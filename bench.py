@@ -582,17 +582,22 @@ def _enable_compile_cache():
 
 DEFAULT_BUDGET_S = 1200.0
 
-# per-leg wall-clock cost estimates (seconds), taken from the round-3
-# driver tail (BENCH_r03.json: extract-to-first-timing 732 s incl. compile,
-# cost_analysis 152 s, int8 353 s, kmeans 54 s, select 41 s, parity 10 s,
-# e2e 184 s, mp4 48 s; pretrain was killed ~1599 s in). Estimates are
-# deliberately pessimistic — a skipped optional leg costs a metric, an
-# overrun costs the whole artifact.
+# per-leg wall-clock cost estimates (seconds). Round-5 recalibration from
+# two full runs on the tunneled v5e with the repo-local XLA compile cache
+# and param-init cache warm (the state the end-of-round driver runs in —
+# both caches live in the repo dir and survive across runs): mp4 4 s,
+# e2e 110-128 s, int8 43 s warm / 637 s on a cold executable cache,
+# pretrain ~90 s now that its init tree is disk-cached (was ~390 s of
+# host-side flax init + lowering). Estimates carry margin over the WARM
+# cost: an under-estimate is bounded (the leg order puts the cheapest
+# first and the SIGALRM/watchdog still emit a partial artifact with every
+# completed leg), while the old cold-cost estimates made a post-hang
+# budget skip legs that would actually have fit.
 LEG_EST_S = {
-    "mp4_decode": 90.0,
-    "e2e": 260.0,
-    "pretrain": 420.0,
-    "int8_extract": 420.0,
+    "mp4_decode": 60.0,
+    "e2e": 200.0,
+    "pretrain": 240.0,
+    "int8_extract": 150.0,
     "scale_select": 180.0,
     "per_stage": 600.0,
 }
