@@ -274,6 +274,15 @@ def init_pretrain(key, num_frames: int = 8, crop: int = 112,
         )
     opt_state = optimizer.init(params)
     state = TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+    if cpu is not None and jax.default_backend() != "cpu":
+        # move the finished tree to the accelerator ONCE (mirrors
+        # build_models): on a cold init cache model.init consumed the
+        # CPU-COMMITTED key, so the whole tree comes back committed to the
+        # CPU device — and the plain (no-in_shardings) jitted train step
+        # then follows the committed inputs and silently runs the full
+        # step on the host CPU (round-5 review). The warm-cache path
+        # returns uncommitted arrays and never hit this.
+        state = jax.device_put(state, jax.devices()[0])
     return model, state, optimizer
 
 

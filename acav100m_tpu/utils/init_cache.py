@@ -26,6 +26,11 @@ import jax
 import jax.numpy as jnp
 
 
+# newest entries kept per model name on write; older siblings are evicted
+# (each is 100s of MB and ident churn otherwise grows the dir unboundedly)
+KEEP_PER_NAME = 4
+
+
 def init_cache_path(name: str, ident: Dict) -> Optional[Path]:
     """Cache file for one init tree; ``ident`` must capture everything
     that shapes tree structure or values (config, key data, versions)."""
@@ -64,6 +69,22 @@ def cached_init(name: str, ident: Dict, init_fn: Callable):
             tmp = cache_file.with_suffix(".tmp")
             tmp.write_bytes(fser.to_bytes(tree))
             tmp.replace(cache_file)  # atomic: concurrent builds race safely
+            # bounded eviction: entries are 100s of MB each and every
+            # ident change (key, shape, library bump) orphans the previous
+            # one — without eviction the dir grows unboundedly (observed
+            # 4.3 GB / 21 entries). Keep the newest KEEP_PER_NAME per
+            # model so legitimately-coexisting configs (the bench's bf16
+            # AND int8 builds of the same model) don't thrash each other.
+            # Best-effort: a concurrent reader of an evicted entry falls
+            # open to a real init.
+            siblings = sorted(
+                cache_file.parent.glob(f"{name}-*.msgpack"),
+                key=lambda p: p.stat().st_mtime, reverse=True)
+            for old in siblings[KEEP_PER_NAME:]:
+                try:
+                    old.unlink()
+                except OSError:
+                    pass
         except Exception:
             pass
     return tree

@@ -416,24 +416,26 @@ def bench_pretrain(smoke=False):
                 "fwd+bwd [2,4.5] band: step-counted flops unreliable, "
                 "pretrain_mfu_pct derived from them is not a fact")
     out["suspect"].extend(_roofline_suspects(
-        "pretrain", out.get("pretrain_mfu_pct"),
-        out.get("pretrain_hbm_util_pct")))
+        "pretrain_mfu_pct", out.get("pretrain_mfu_pct"),
+        "pretrain_hbm_util_pct", out.get("pretrain_hbm_util_pct")))
     return out
 
 
-def _roofline_suspects(prefix, mfu_pct, hbm_util_pct):
+def _roofline_suspects(mfu_key, mfu_pct, hbm_key, hbm_util_pct):
     """>100% of either wall is physically impossible — flag, don't assert
     (round-4 VERDICT weak #1: the bench published 142% HBM util as fact).
     The usual cause: XLA cost-analysis bytes are HLO operand bytes, an
-    overcount of physical HBM traffic on fused/remat graphs."""
+    overcount of physical HBM traffic on fused/remat graphs. The message
+    names the EXACT artifact key carrying the flagged value so a reader
+    can cross-reference it (the extract keys are unprefixed)."""
     sus = []
     if mfu_pct is not None and mfu_pct > 100.0:
         sus.append(
-            f"{prefix}_mfu_pct={mfu_pct} > 100% of the MXU wall is "
+            f"{mfu_key}={mfu_pct} > 100% of the MXU wall is "
             "physically impossible: counted flops or dt is wrong")
     if hbm_util_pct is not None and hbm_util_pct > 100.0:
         sus.append(
-            f"{prefix}_hbm_util_pct={hbm_util_pct} > 100% of the HBM wall "
+            f"{hbm_key}={hbm_util_pct} > 100% of the HBM wall "
             "is physically impossible: XLA 'bytes accessed' is an "
             "HLO-level operand-byte overcount, not measured HBM traffic — "
             "treat as an upper bound, not a utilization")
@@ -774,8 +776,13 @@ class BenchState:
           it completes, so the watchdog's emit() blocks behind an in-flight
           main-thread print instead of hard-exiting mid-line (ADVICE r4
           low #2);
-        * the full payload goes to the sidecar + stderr BEFORE the compact
-          stdout line, and sidecar failures can't sink the stdout line.
+        * the compact stdout line is serialized FIRST with an
+          always-serializable fallback, and every other step (sidecar
+          write, stderr full payload) is exception-isolated — no payload
+          assembly surprise (a non-JSON detail value, a zero timing) can
+          sink the one line the driver parses (round-5 review);
+        * a failed/partial stdout print still marks ``emitted`` so the
+          watchdog and handler don't double-print.
         """
         try:
             old_mask = signal.pthread_sigmask(
@@ -787,18 +794,28 @@ class BenchState:
             with self._emit_lock:
                 if self.emitted:
                     return
-                full = self.payload(status)
                 try:
+                    compact = json.dumps(self.payload_compact(status))
+                except Exception as e:  # pragma: no cover - defensive
+                    compact = json.dumps({
+                        "metric": "bench emit error",
+                        "value": 0.0,
+                        "unit": "clips/sec/chip",
+                        "vs_baseline": 0.0,
+                        "detail": {"status": "emit_error",
+                                   "error": f"{type(e).__name__}: {e}"[:300]},
+                    })
+                try:
+                    full = self.payload(status)
                     self.detail_path.write_text(json.dumps(full, indent=1))
-                except OSError:  # pragma: no cover - read-only checkout
-                    pass
-                try:
                     print("[bench full payload] " + json.dumps(full),
                           file=sys.stderr, flush=True)
-                except Exception:  # pragma: no cover
+                except Exception:  # pragma: no cover - sidecar best-effort
                     pass
-                print(json.dumps(self.payload_compact(status)), flush=True)
-                self.emitted = True
+                try:
+                    print(compact, flush=True)
+                finally:
+                    self.emitted = True
         finally:
             if old_mask is not None:
                 signal.pthread_sigmask(signal.SIG_SETMASK, old_mask)
@@ -812,14 +829,20 @@ class BenchState:
         headroom."""
 
         def handler(signum, frame):  # pragma: no cover - signal path
+            # try/finally: emit() raising must not skip the hard exit —
+            # the exception would unwind into the interrupted frame and
+            # the process would die rc!=0 with no artifact (round-5
+            # review; mirrors the watchdog's finally).
             try:
-                name = signal.Signals(signum).name
-            except ValueError:
-                name = str(signum)
-            self.detail.setdefault("interrupted_by", name)
-            self.detail["interrupted_at_s"] = round(self.elapsed(), 1)
-            self.emit(status="partial")
-            os._exit(0)
+                try:
+                    name = signal.Signals(signum).name
+                except ValueError:
+                    name = str(signum)
+                self.detail.setdefault("interrupted_by", name)
+                self.detail["interrupted_at_s"] = round(self.elapsed(), 1)
+                self.emit(status="partial")
+            finally:
+                os._exit(0)
 
         for sig in (signal.SIGTERM, signal.SIGALRM, signal.SIGINT):
             signal.signal(sig, handler)
@@ -965,8 +988,8 @@ def main():
             st.detail["extract_hbm_util_pct"] = round(
                 100.0 * bytes_ / (t * batch) / 1e9 / hbm_gbps, 1)
         sus = _roofline_suspects(
-            "extract", st.detail.get("mfu_pct"),
-            st.detail.get("extract_hbm_util_pct"))
+            "mfu_pct", st.detail.get("mfu_pct"),
+            "extract_hbm_util_pct", st.detail.get("extract_hbm_util_pct"))
         if sus:
             st.detail.setdefault("suspect", []).extend(sus)
 

@@ -38,33 +38,31 @@ class FakeClock:
 
 class TestBenchState:
     def _state(self, budget=100.0, tmp_path=None):
-        import tempfile
-
         from bench import BenchState
 
+        assert tmp_path is not None  # pytest tmp_path: auto-cleaned
         clock = FakeClock()
-        detail = Path(tmp_path or tempfile.mkdtemp(
-            prefix="acav_bench_detail_")) / "BENCH_DETAIL.json"
+        detail = Path(tmp_path) / "BENCH_DETAIL.json"
         return (BenchState(budget_s=budget, now=clock, smoke=False,
                            detail_path=detail), clock)
 
-    def test_optional_leg_skipped_when_budget_tight(self):
-        st, clock = self._state(budget=100.0)
+    def test_optional_leg_skipped_when_budget_tight(self, tmp_path):
+        st, clock = self._state(tmp_path=tmp_path, budget=100.0)
         clock.t = 50.0  # remaining 50 < mp4_decode estimate (90)
         ran = []
         out = st.run_leg("mp4_decode", lambda: ran.append(1))
         assert out is None and not ran
         assert st.legs_skipped == ["mp4_decode"]
 
-    def test_required_leg_runs_past_budget(self):
-        st, clock = self._state(budget=10.0)
+    def test_required_leg_runs_past_budget(self, tmp_path):
+        st, clock = self._state(tmp_path=tmp_path, budget=10.0)
         clock.t = 999.0
         st.run_leg("extract_timeit", lambda: st.headline.update(
             {"t_extract": 0.01}), required=True)
         assert st.legs_done == ["extract_timeit"]
 
-    def test_leg_exception_recorded_not_fatal(self):
-        st, _ = self._state(budget=10_000.0)  # ample: reach the leg body
+    def test_leg_exception_recorded_not_fatal(self, tmp_path):
+        st, _ = self._state(tmp_path=tmp_path, budget=10_000.0)  # ample: reach the leg body
 
         def boom():
             raise RuntimeError("kaput")
@@ -73,8 +71,8 @@ class TestBenchState:
         assert "RuntimeError: kaput" in st.detail["e2e_error"]
         assert st.legs_done == []
 
-    def test_payload_full_headline(self):
-        st, _ = self._state()
+    def test_payload_full_headline(self, tmp_path):
+        st, _ = self._state(tmp_path=tmp_path)
         st.headline.update(
             {"t_extract": 0.002, "t_cluster": 0.0005, "t_select": 0.0005})
         p = st.payload()
@@ -83,23 +81,23 @@ class TestBenchState:
         assert p["detail"]["status"] == "complete"
         json.dumps(p)  # must be JSON-serializable
 
-    def test_payload_partial_falls_back_to_extract(self):
-        st, _ = self._state()
+    def test_payload_partial_falls_back_to_extract(self, tmp_path):
+        st, _ = self._state(tmp_path=tmp_path)
         st.headline["t_extract"] = 0.004
         p = st.payload(status="partial")
         assert p["value"] == 250.0
         assert "PARTIAL" in p["metric"]
         assert p["detail"]["status"] == "partial"
 
-    def test_payload_no_headline_still_valid(self):
-        st, _ = self._state()
+    def test_payload_no_headline_still_valid(self, tmp_path):
+        st, _ = self._state(tmp_path=tmp_path)
         st.detail["build_models_error"] = "x"
         p = st.payload(status="partial")
         assert p["value"] == 0.0
         json.dumps(p)
 
-    def test_emit_is_single_shot(self, capsys):
-        st, _ = self._state()
+    def test_emit_is_single_shot(self, capsys, tmp_path):
+        st, _ = self._state(tmp_path=tmp_path)
         st.headline["t_extract"] = 0.01
         st.emit()
         st.emit()
@@ -192,7 +190,7 @@ class TestBenchState:
                 "pretrain_step_fwd_flops_ratio=1.31 outside the fwd+bwd "
                 "[2,4.5] band: step-counted flops unreliable, "
                 "pretrain_mfu_pct derived from them is not a fact",
-                "extract_mfu_pct=101.0 > 100% of the MXU wall is "
+                "mfu_pct=101.0 > 100% of the MXU wall is "
                 "physically impossible: counted flops or dt is wrong",
             ],
             "t_extract_int8_ms": 1.899, "int8_speedup_vs_bf16": 1.141,
@@ -211,11 +209,11 @@ class TestBenchState:
             "interrupted_by": "SIGALRM", "interrupted_at_s": 1200.4,
         })
 
-    def test_compact_line_fits_driver_tail_window(self):
+    def test_compact_line_fits_driver_tail_window(self, tmp_path):
         """Round-4 VERDICT task 1: the FINAL stdout line must parse inside
         the driver's 2000-char tail window with EVERY leg populated —
         rounds 3-4 lost the headline to payload growth. Budget < 1500."""
-        st, _ = self._state()
+        st, _ = self._state(tmp_path=tmp_path)
         self._populate_every_leg(st)
         line = json.dumps(st.payload_compact(status="partial"))
         assert len(line) < 1500, f"compact line {len(line)} chars:\n{line}"
@@ -239,10 +237,10 @@ class TestBenchState:
         assert "pretrain_hbm_util_pct=142.1 > 100% of the HBM wall is " \
                "physically impossible" in d["suspect"][0]
 
-    def test_both_selection_mode_headlines(self):
+    def test_both_selection_mode_headlines(self, tmp_path):
         """Round-4 VERDICT task 6: the reference-trajectory (B=20/k=4 f64)
         composition is first-class next to the TPU-scaled one."""
-        st, _ = self._state()
+        st, _ = self._state(tmp_path=tmp_path)
         st.headline.update({"t_extract": 0.002, "t_cluster": 0.0005,
                             "t_select": 0.0005})
         st.detail["t_select_parity_B20_k4_f64_ms"] = 0.25
@@ -253,8 +251,8 @@ class TestBenchState:
         c = st.payload_compact()
         assert c["value_parity_trajectory"] == p["value_parity_trajectory"]
 
-    def test_emit_writes_sidecar_and_compact_stdout(self, capsys):
-        st, _ = self._state()
+    def test_emit_writes_sidecar_and_compact_stdout(self, capsys, tmp_path):
+        st, _ = self._state(tmp_path=tmp_path)
         self._populate_every_leg(st)
         st.emit()
         out = capsys.readouterr().out.strip().splitlines()
@@ -269,8 +267,42 @@ class TestBenchState:
         for k in ("mfu_pct", "t_extract_ms", "t_cluster_ms"):
             assert full["detail"][k] == compact["detail"][k]
 
+    def test_emit_sidecar_serialization_error_cannot_sink_stdout(
+            self, capsys, tmp_path):
+        """Round-5 review: a non-JSON-serializable detail value used to
+        raise out of emit() (only OSError was caught), skipping the stdout
+        line AND the signal handler's os._exit — the exact lost-artifact
+        failure the emitter exists to prevent. Sidecar failures must be
+        isolated from the compact line."""
+        st, _ = self._state(tmp_path=tmp_path)
+        st.headline["t_extract"] = 0.01
+        st.detail["poison"] = object()  # sidecar-only key: not COMPACT
+        st.emit()
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1
+        payload = json.loads(out[0])
+        assert payload["value"] == 100.0  # headline intact
+        assert not st.detail_path.exists()  # sidecar lost, disclosed below
+        assert st.emitted
+
+    def test_emit_compact_assembly_error_falls_back_to_minimal_line(
+            self, capsys, tmp_path):
+        """If even the compact payload can't serialize (a poisoned
+        COMPACT_KEY), emit() must still print SOME parseable JSON line and
+        mark itself emitted rather than raise."""
+        st, _ = self._state(tmp_path=tmp_path)
+        st.headline["t_extract"] = 0.01
+        st.detail["mfu_pct"] = object()  # COMPACT_KEY: breaks json.dumps
+        st.emit()
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1
+        payload = json.loads(out[0])
+        assert payload["detail"]["status"] == "emit_error"
+        assert "TypeError" in payload["detail"]["error"]
+        assert st.emitted
+
     def test_emit_masks_signals_during_critical_section(self, monkeypatch,
-                                                        capsys):
+                                                        capsys, tmp_path):
         """ADVICE r4 medium: the SIGTERM/SIGALRM handler itself calls
         emit(); a signal landing while the main thread holds the
         non-reentrant emit lock would self-deadlock. emit() therefore
@@ -279,7 +311,7 @@ class TestBenchState:
         import builtins
         import signal as sigmod
 
-        st, _ = self._state()
+        st, _ = self._state(tmp_path=tmp_path)
         st.headline["t_extract"] = 0.01
         before = sigmod.pthread_sigmask(sigmod.SIG_BLOCK, set())
         masks = []
@@ -382,9 +414,10 @@ def test_roofline_suspects():
     VERDICT weak #1: 142% HBM util went out unmarked)."""
     from bench import _roofline_suspects
 
-    assert _roofline_suspects("x", 50.0, 80.0) == []
-    assert _roofline_suspects("x", None, None) == []
-    sus = _roofline_suspects("pretrain", 101.0, 142.1)
+    assert _roofline_suspects("a", 50.0, "b", 80.0) == []
+    assert _roofline_suspects("a", None, "b", None) == []
+    sus = _roofline_suspects("pretrain_mfu_pct", 101.0,
+                             "pretrain_hbm_util_pct", 142.1)
     assert len(sus) == 2
     assert sus[0].startswith("pretrain_mfu_pct=101.0")
     assert sus[1].startswith("pretrain_hbm_util_pct=142.1")

@@ -24,6 +24,34 @@ def tiny_batch(rng, b=4):
     return {"visual": visual, "audio": audio}
 
 
+@pytest.mark.slow
+def test_init_pretrain_moves_tree_to_accelerator(monkeypatch, tmp_path):
+    """Round-5 review: on a COLD init cache, ``model.init`` consumes the
+    CPU-COMMITTED key, so the whole tree comes back committed to the CPU
+    device — and the plain (no-``in_shardings``) jitted train step follows
+    committed inputs, silently running the full step on the host CPU of a
+    TPU machine. ``init_pretrain`` must end with one ``device_put`` of the
+    state to the default accelerator, exactly like ``build_models``
+    (pipeline/feature_extraction.py). Asserted with a spy because on this
+    CPU-only rig the accelerator branch is otherwise unreachable."""
+    monkeypatch.setenv("ACAV_PARAM_INIT_CACHE", str(tmp_path))  # cold cache
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    puts = []
+    real_put = jax.device_put
+
+    def spy(tree, device=None, **kw):
+        puts.append((device, tree))
+        return real_put(tree, device, **kw)
+
+    monkeypatch.setattr(jax, "device_put", spy)
+    _, state, _ = et.init_pretrain(
+        jax.random.PRNGKey(0), num_frames=2, crop=32)
+    last_device, last_tree = puts[-1]
+    assert last_device == jax.devices()[0]
+    assert last_tree is not None and hasattr(last_tree, "params")
+    assert int(state.step) == 0
+
+
 class TestModels:
     @pytest.mark.slow
     def test_backbone_output_sizes(self):

@@ -78,6 +78,35 @@ def test_corrupt_file_falls_back(cache_root):
         np.arange(6, dtype=np.float32).reshape(3, 2))
 
 
+def test_bounded_eviction_keeps_newest_per_name(cache_root):
+    """Round-5 review: ident churn (key/shape/library bumps) orphaned
+    ~200 MB entries forever (observed 4.3 GB / 21 files). Writes now keep
+    only the newest KEEP_PER_NAME siblings per model name — enough for
+    legitimately-coexisting configs (bf16 + int8 builds), bounded growth."""
+    import os
+    import time
+
+    from acav100m_tpu.utils.init_cache import KEEP_PER_NAME
+
+    paths = []
+    for v in range(KEEP_PER_NAME + 3):
+        cached_init("t", {"v": v}, _tree)
+        p = init_cache_path("t", {"v": v})
+        # distinct mtimes on coarse filesystems, all in the PAST so the
+        # final write below is unambiguously the newest sibling
+        t = time.time() - 100 + v
+        os.utime(p, (t, t))
+        paths.append(p)
+    cached_init("t", {"v": 99}, _tree)  # triggers eviction on write
+    survivors = sorted(cache_root.glob("**/t-*.msgpack"))
+    assert len(survivors) == KEEP_PER_NAME
+    assert init_cache_path("t", {"v": 99}).is_file()  # newest kept
+    assert not paths[0].is_file()  # oldest evicted
+    # other model names untouched
+    cached_init("other", {"v": 1}, _tree)
+    assert init_cache_path("other", {"v": 1}).is_file()
+
+
 def test_values_roundtrip_bitexact(cache_root):
     ident = {"v": 5}
     key = jax.random.PRNGKey(7)
